@@ -1,0 +1,176 @@
+"""Image operations for the stereo pipeline (JAX, batched, TPU-friendly).
+
+TPU-native counterpart of the MVE image tooling the reference relies on
+(`lib/stereo_view.cc`, `mve::image::*`): scale-space by Gaussian blur (NOT
+downsampling — reference `lib/stereo_view.cc:27-31`), luminance
+desaturation, half-size rescales, inverse-sRGB linearization, and bilinear
+sampling. All functions operate on [..., H, W] arrays and jit cleanly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def scale_space_sigma(scale: int | float) -> float:
+    """Blur sigma for a pyramid scale; reference `lib/stereo_view.cc:29`."""
+    return 0.12 * (2.0**scale) + 0.2
+
+
+def luminance(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Desaturate [..., H, W, 3] -> [..., H, W] (MVE DESATURATE_LUMINANCE,
+
+    ITU-R BT.601 weights), as used at reference `lib/stereo_view.cc:51-53`.
+    """
+    w = jnp.asarray([0.299, 0.587, 0.114], dtype=rgb.dtype)
+    return jnp.einsum("...c,c->...", rgb, w)
+
+
+def srgb_to_linear(img: jnp.ndarray) -> jnp.ndarray:
+    """Inverse sRGB gamma (MVE gamma_correct_inv_srgb);
+
+    used for the shading image at reference `lib/stereo_view.cc:64-74`.
+    """
+    return jnp.where(
+        img <= 0.04045, img / 12.92, ((img + 0.055) / 1.055) ** 2.4
+    )
+
+
+def gaussian_kernel(sigma: float, dtype=jnp.float32) -> jnp.ndarray:
+    """1D Gaussian kernel with MVE's support rule (ks = ceil(sigma * 2.884))."""
+    ks = int(math.ceil(sigma * 2.884))
+    xs = np.arange(-ks, ks + 1, dtype=np.float64)
+    w = np.exp(-(xs**2) / (2.0 * sigma**2))
+    w /= w.sum()
+    return jnp.asarray(w, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnames=('sigma',))
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur with edge-clamp borders on [..., H, W]."""
+    if sigma <= 0:
+        return img
+    k = gaussian_kernel(sigma, img.dtype)
+    ks = (k.shape[0] - 1) // 2
+
+    def conv1d(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (ks, ks)
+        xp = jnp.pad(x, pad, mode="edge")
+        # Convolve by summing shifted slices (small kernels; XLA fuses this).
+        out = jnp.zeros_like(x)
+        for i in range(k.shape[0]):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(i, i + x.shape[axis])
+            out = out + k[i] * xp[tuple(sl)]
+        return out
+
+    return conv1d(conv1d(img, -1), -2)
+
+
+@jax.jit
+def rescale_half_size(img: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downsample (mve::image::rescale_half_size), odd sizes keep the
+
+    partial last row/column by edge-padding.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        pad = [(0, 0)] * (img.ndim - 2) + [(0, ph), (0, pw)]
+        img = jnp.pad(img, pad, mode="edge")
+    s = img.shape
+    r = img.reshape(*s[:-2], s[-2] // 2, 2, s[-1] // 2, 2)
+    return r.mean(axis=(-3, -1))
+
+
+@functools.partial(jax.jit, static_argnames=('sigma',))
+def rescale_half_size_gaussian(img: jnp.ndarray, sigma: float = math.sqrt(3.0) / 2.0
+                               ) -> jnp.ndarray:
+    """Half-size rescale with 4x4 Gaussian taps
+
+    (mve::image::rescale_half_size_gaussian, used at reference
+    `app/smvsrecon.cc:637`). Output pixel centers sit at input coords
+    (2i+0.5, 2j+0.5); taps at distances^2 {0.5, 2.5, 4.5}.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = (h + 1) // 2, (w + 1) // 2
+    w1 = math.exp(-0.5 / (2.0 * sigma**2))
+    w2 = math.exp(-2.5 / (2.0 * sigma**2))
+    w3 = math.exp(-4.5 / (2.0 * sigma**2))
+    kernel = np.array(
+        [[w3, w2, w2, w3], [w2, w1, w1, w2], [w2, w1, w1, w2], [w3, w2, w2, w3]]
+    )
+    kernel /= kernel.sum()
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 2 + (h % 2)), (1, 2 + (w % 2))]
+    xp = jnp.pad(img, pad, mode="edge")
+    out = jnp.zeros((*img.shape[:-2], oh, ow), dtype=img.dtype)
+    for dy in range(4):
+        for dx in range(4):
+            sl = xp[..., dy : dy + 2 * oh : 2, dx : dx + 2 * ow : 2]
+            out = out + kernel[dy, dx] * sl
+    return out
+
+
+def bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img[..., H, W] at (x, y); coords clamped to the border
+
+    (MVE linear_at semantics). x/y index columns/rows with pixel centers at
+    integers. Returns values broadcast over x/y's shape (leading img dims
+    must be absent for the common single-image case).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    x = jnp.clip(x, 0.0, w - 1.0)
+    y = jnp.clip(y, 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[..., y0, x0]
+    v10 = img[..., y0, x0 + 1]
+    v01 = img[..., y0 + 1, x0]
+    v11 = img[..., y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v10 * fx * (1 - fy)
+        + v01 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@jax.custom_jvp
+def sample_gradient(grad_img: jnp.ndarray, hess_img: jnp.ndarray,
+                    x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Sample an image-gradient field, differentiating through the image Hessian.
+
+    Primal: bilinear sample of grad_img [2, H, W] at (x, y) -> (..., 2).
+    JVP w.r.t. (x, y): routed through the *precomputed, smoothed* image
+    Hessian hess_img [3, H, W] = (Ixx, Ixy, Iyy) rather than through the
+    piecewise-constant derivative of bilinear interpolation. This reproduces
+    the reference's chain rule, which multiplies the warp-position derivative
+    by the sampled Hessian (`lib/gauss_newton_step.cc:195-207`), while
+    letting `jax.jacfwd` derive the full Gauss-Newton Jacobian.
+    """
+    return jnp.stack([bilinear(grad_img[0], x, y), bilinear(grad_img[1], x, y)],
+                     axis=-1)
+
+
+@sample_gradient.defjvp
+def _sample_gradient_jvp(primals, tangents):
+    grad_img, hess_img, x, y = primals
+    _, _, dx, dy = tangents
+    out = sample_gradient(grad_img, hess_img, x, y)
+    hxx = bilinear(hess_img[0], x, y)
+    hxy = bilinear(hess_img[1], x, y)
+    hyy = bilinear(hess_img[2], x, y)
+    dx = jnp.zeros_like(x) if isinstance(dx, jax.custom_derivatives.SymbolicZero) else dx
+    dy = jnp.zeros_like(y) if isinstance(dy, jax.custom_derivatives.SymbolicZero) else dy
+    d0 = hxx * dx + hxy * dy
+    d1 = hxy * dx + hyy * dy
+    return out, jnp.stack([d0, d1], axis=-1)

@@ -1,0 +1,524 @@
+"""Per-view coarse-to-fine depth optimization controller.
+
+TPU-native counterpart of reference `lib/depth_optimizer.cc`: the scale loop
+(`optimize`, :53-162), Newton iterations with a reprojection-delta working
+set (`run_newton_iterations`, :164-358), visibility/occlusion analysis
+(`create_subview_surfaces`, :433-604), and boundary cutting
+(`cut_boundaries`, :360-431) — all expressed as masked dense array programs.
+Per-scale compute (assembly, CG, projections, visibility) is jitted; the
+Python level only sequences scales and reads convergence scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvs_tpu.geometry import correspondence as corr
+from smvs_tpu.image import bilateral, ops as iops
+from smvs_tpu.shading.lighting import fit_lighting
+from smvs_tpu.solver import cg, gn, stencil
+from smvs_tpu.surface import bicubic
+from smvs_tpu.surface import state as S
+from smvs_tpu.pipeline.views import StereoViewState
+
+
+@dataclasses.dataclass
+class OptimizerOptions:
+    """Mirror of `DepthOptimizer::Options` (reference `lib/depth_optimizer.h:30-42`)."""
+
+    regularization: float = 0.001
+    light_surf_regularization: float = 0.0
+    num_iterations: int = 10
+    min_scale: int = 1
+    use_shading: bool = False
+    use_sgm: bool = False
+    full_optimization: bool = False
+    debug_lvl: int = 0
+    # TPU-specific knobs
+    max_newton_steps: int = 200
+    chunk: int = 256
+
+
+def initial_scale(width: int, height: int) -> int:
+    """Reference `lib/depth_optimizer.cc:37-39`."""
+    return int(max(np.ceil(np.log2(width * height / 1.7e6) / 2) + 4, 4))
+
+
+def _build_viewset(
+    main: StereoViewState,
+    subs: list[StereoViewState],
+    scale: int,
+    use_shading: bool,
+    dtype,
+) -> gn.ViewSet:
+    mi = main.at_scale(scale)
+    sub_grad = jnp.stack([s.at_scale(scale).grad for s in subs])
+    sub_hess = jnp.stack([s.at_scale(scale).hess for s in subs])
+    Ms, ts = [], []
+    for s in subs:
+        M, t = main.camera.fill_reprojection(
+            s.camera, main.width, main.height, s.width, s.height
+        )
+        Ms.append(M)
+        ts.append(t)
+    shading_grad = shading_image = None
+    if use_shading:
+        shading_image, shading_grad = main.shading_images()
+    return gn.ViewSet(
+        grad_main=mi.grad.astype(dtype),
+        sub_grad=sub_grad.astype(dtype),
+        sub_hess=sub_hess.astype(dtype),
+        M=jnp.asarray(np.stack(Ms), dtype),
+        t=jnp.asarray(np.stack(ts), dtype),
+        flen=jnp.asarray(main.flen(), dtype),
+        shading_grad=None if shading_grad is None else shading_grad.astype(dtype),
+        shading_image=None if shading_image is None else shading_image.astype(dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers on the patch grid
+
+
+def _patch_pixel_grids(surf: S.Surface):
+    """Full-resolution pixel centers per patch: (u, v) each [ny, nx, P]."""
+    px, py = gn._patch_pixel_coords(surf, sampling=1)
+    u = jnp.asarray(px + 0.5, surf.nodes.dtype)
+    v = jnp.asarray(py + 0.5, surf.nodes.dtype)
+    return u, v
+
+
+def _patch_depths_and_derivs(surf: S.Surface):
+    """(w, wdx, wdy) per full-res patch pixel, each [ny, nx, P]."""
+    basis = bicubic.pixel_basis(surf.patchsize, 1, dtype=surf.nodes.dtype)
+    params = S.patch_params(surf)
+    vals = jnp.einsum("pkm,yxm->yxpk", basis[:, :3, :], params)
+    return vals[..., 0], vals[..., 1], vals[..., 2]
+
+
+def _all_projections(surf: S.Surface, view: gn.ViewSet):
+    """proj [N, ny, nx, P, 2] and depth [N, ny, nx, P] for all patch pixels."""
+    u, v = _patch_pixel_grids(surf)
+    w, _, _ = _patch_depths_and_derivs(surf)
+
+    def per_n(M, t):
+        return corr.warp(M, t, u, v, w)
+
+    return jax.vmap(per_n)(view.M, view.t)
+
+
+# ---------------------------------------------------------------------------
+# visibility (create_subview_surfaces)
+
+
+def compute_visibility(
+    surf: S.Surface,
+    view: gn.ViewSet,
+    sgm_depth: Optional[jnp.ndarray],
+    use_sgm: bool,
+    main_image: jnp.ndarray,
+    sub_images: jnp.ndarray,
+) -> tuple[S.Surface, jnp.ndarray]:
+    """Per-(patch, neighbor) visibility; deletes patches visible nowhere.
+
+    Counterpart of reference `lib/depth_optimizer.cc:433-604`: two-pass
+    z-buffer with 0.95 tolerance, warp-anisotropy test (sigma ratio <= 8),
+    and (no-SGM) NCC occlusion rejection. Returns (surface, vis[ny, nx, N]).
+    """
+    N = view.M.shape[0]
+    H, W = surf.height, surf.width
+    dtype = surf.nodes.dtype
+    sub_h, sub_w = view.sub_grad.shape[-2:]
+
+    # ---- pass 1: min-depth z-buffer per neighbor over all valid pixels ----
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    u_img = xs.astype(dtype) + 0.5
+    v_img = ys.astype(dtype) + 0.5
+    depth_img = S.depth_map(surf)
+    sources = [depth_img]
+    if use_sgm and sgm_depth is not None:
+        sources.append(sgm_depth.astype(dtype))
+
+    big = jnp.asarray(1e4, dtype)
+    cache = jnp.full((N, (sub_h + 1) * (sub_w + 1)), big, dtype)
+    for src in sources:
+        valid = src > 0
+
+        def scatter_one(cache_n, M, t):
+            proj, d = corr.warp(M, t, u_img, v_img, src)
+            pxl = proj[..., 0] - 0.5
+            pyl = proj[..., 1] - 0.5
+            ok = valid & (pxl >= 3.0) & (pxl < sub_w - 3.0) & \
+                (pyl >= 3.0) & (pyl < sub_h - 3.0)
+            cx = jnp.clip(pxl.astype(jnp.int32), 1, sub_w - 2)
+            cy = jnp.clip(pyl.astype(jnp.int32), 1, sub_h - 2)
+            vals = jnp.where(ok, d, big).reshape(-1)
+            out = cache_n
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    idx = ((cy + dy) * (sub_w + 1) + (cx + dx)).reshape(-1)
+                    out = out.at[idx].min(vals)
+            return out
+
+        cache = jax.vmap(scatter_one)(cache, view.M, view.t)
+    cache = cache.reshape(N, sub_h + 1, sub_w + 1)
+
+    # ---- pass 2: per-patch tests -----------------------------------------
+    u, v = _patch_pixel_grids(surf)
+    w, wdx, wdy = _patch_depths_and_derivs(surf)
+    cutoff = 0.03 * max(sub_w, sub_h)
+
+    def per_neighbor(M, t, cache_n, sub_img):
+        proj, d = corr.warp(M, t, u, v, w)  # [ny, nx, P, 2]
+        pxl = proj[..., 0] - 0.5
+        pyl = proj[..., 1] - 0.5
+        inb = (pxl >= cutoff) & (pxl < sub_w - cutoff) & \
+            (pyl >= cutoff) & (pyl < sub_h - cutoff)
+        in_bounds = inb.all(axis=-1)  # [ny, nx]
+
+        cx = jnp.clip(pxl.astype(jnp.int32), 1, sub_w - 2)
+        cy = jnp.clip(pyl.astype(jnp.int32), 1, sub_h - 2)
+        nb_min = jnp.full(cx.shape, big, dtype)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nb_min = jnp.minimum(nb_min, cache_n[cy + dy, cx + dx])
+        occluded = (d * 0.95 > nb_min).any(axis=-1)
+
+        jac = corr.warp_jacobian(M, t, u, v, w, wdx, wdy)
+        aniso = corr.jacobian_condition(jac).max(axis=-1) <= 8.0
+
+        # NCC (reference :577-580, used when SGM is off): normalized
+        # correlation of main vs warped neighbor intensities over the patch.
+        main_vals = iops.bilinear(main_image, u - 0.5, v - 0.5)
+        sub_vals = iops.bilinear(sub_img, pxl, pyl)
+        m0 = main_vals - main_vals.mean(axis=-1, keepdims=True)
+        m1 = sub_vals - sub_vals.mean(axis=-1, keepdims=True)
+        n0 = jnp.linalg.norm(m0, axis=-1)
+        n1 = jnp.linalg.norm(m1, axis=-1)
+        ncc = jnp.sum(m0 * m1, axis=-1) / jnp.maximum(n0 * n1, 1e-20)
+        textureless = (n0 + n1) < 0.001 * u.shape[-1]
+        ncc_ok = textureless | (ncc >= 0)
+
+        ok = in_bounds & ~occluded & aniso
+        if not use_sgm:
+            ok = ok & ncc_ok
+        return ok
+
+    vis = jax.vmap(per_neighbor)(view.M, view.t, cache, sub_images)
+    vis = jnp.moveaxis(vis, 0, -1)  # [ny, nx, N]
+    vis = vis & surf.patch_valid[..., None]
+
+    surf = S.delete_patches(surf, ~vis.any(axis=-1) & surf.patch_valid)
+    surf = S.remove_nodes_without_patch(surf)
+    vis = vis & surf.patch_valid[..., None]
+    return surf, vis
+
+
+# ---------------------------------------------------------------------------
+# boundary cutting
+
+
+def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
+                   inv_flen_cal: np.ndarray) -> tuple[S.Surface, jnp.ndarray]:
+    """One sweep of boundary cutting (reference `lib/depth_optimizer.cc:360-431`).
+
+    Returns (surface, number_deleted). inv_flen_cal is the 3x3 inverse
+    calibration of the main view.
+    """
+    ny, nx, _ = vis.shape
+    ps = surf.patchsize
+    dtype = surf.nodes.dtype
+    n = surf.nodes
+
+    # -- depth-discontinuity test over the 4 corner node depths -------------
+    c00 = n[:-1, :-1, 0]
+    c10 = n[:-1, 1:, 0]
+    c01 = n[1:, :-1, 0]
+    c11 = n[1:, 1:, 0]
+    corners = jnp.stack([c00, c10, c01, c11], axis=-1)  # [ny, nx, 4]
+    dmin = corners.min(-1)
+    dmax = corners.max(-1)
+    amin = corners.argmin(-1)
+    amax = corners.argmax(-1)
+    dd_factor = jnp.where(amin + amax == 3, 5.0 * np.sqrt(2.0), 5.0)
+
+    bx = surf.start_x + np.arange(nx) * ps
+    by = surf.start_y + np.arange(ny) * ps
+    vx = inv_flen_cal[0, 0] * (bx + 0.5) + inv_flen_cal[0, 2]
+    vy = inv_flen_cal[1, 1] * (by + 0.5) + inv_flen_cal[1, 2]
+    vnorm = np.sqrt(vx[None, :] ** 2 + vy[:, None] ** 2 + 1.0)
+    threshold = dd_factor * dmin * inv_flen_cal[0, 0] * ps / jnp.asarray(
+        vnorm, dtype)
+    cut_depth = (dmax - dmin) > threshold
+
+    # -- border-patch photometric error test --------------------------------
+    mse = patch_mse(surf, view, vis)
+    nvp = jnp.pad(surf.node_valid, ((1, 1), (1, 1)))
+    ny1, nx1 = surf.node_valid.shape
+    invalid_count = jnp.zeros((ny1, nx1), jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            invalid_count = invalid_count + (
+                ~nvp[1 + dy : 1 + dy + ny1, 1 + dx : 1 + dx + nx1]
+            ).astype(jnp.int32)
+    node_border = invalid_count > 1
+    patch_border = (node_border[:-1, :-1] | node_border[:-1, 1:]
+                    | node_border[1:, :-1] | node_border[1:, 1:])
+    cut_border = patch_border & (mse > 0.05)
+
+    delete = (cut_depth | cut_border) & surf.patch_valid
+    deleted = jnp.sum(delete)
+    surf = S.delete_patches(surf, delete)
+    surf = S.remove_nodes_without_patch(surf)
+    return surf, deleted
+
+
+def patch_mse(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray) -> jnp.ndarray:
+    """Mean photometric-gradient error per patch (reference :747-790)."""
+    u, v = _patch_pixel_grids(surf)
+    w, wdx, wdy = _patch_depths_and_derivs(surf)
+    px, py = gn._patch_pixel_coords(surf, sampling=1)
+    gm = gn._gather_image_at(view.grad_main, px, py)  # [ny, nx, P, 2]
+
+    def per_n(M, t, g_img, h_img):
+        proj, _ = corr.warp(M, t, u, v, w)
+        jac = corr.warp_jacobian(M, t, u, v, w, wdx, wdy)
+        gs = iops.sample_gradient(g_img, h_img, proj[..., 0] - 0.5,
+                                  proj[..., 1] - 0.5)
+        jg = jnp.einsum("...ij,...i->...j", jac, gs)
+        return jnp.linalg.norm(gm - jg, axis=-1)  # [ny, nx, P]
+
+    err = jax.vmap(per_n)(view.M, view.t, view.sub_grad, view.sub_hess)
+    err = jnp.moveaxis(err, 0, -1)  # [ny, nx, P, N]
+    mask = vis[:, :, None, :].astype(err.dtype)
+    total = (err * mask).sum((-1, -2))
+    count = mask.sum(-1).sum(-1) * err.shape[-2]  # visible neighbors x pixels
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Newton iterations
+
+
+def make_newton_step(surf: S.Surface, view: gn.ViewSet, opts: OptimizerOptions,
+                     lighting):
+    """Build a jitted single-Newton-step function for this scale's shapes."""
+    gn_opts = gn.GNOptions(
+        regularization=opts.regularization,
+        light_surf_regularization=opts.light_surf_regularization,
+        chunk=opts.chunk,
+    )
+    template = surf
+
+    @jax.jit
+    def step(nodes, node_valid, patch_valid, vis, active):
+        s = dataclasses.replace(template, nodes=nodes, node_valid=node_valid,
+                                patch_valid=patch_valid)
+        act = active & node_valid
+        g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
+        P = stencil.block_jacobi_inverse(Hb, act)
+        gnorm = jnp.linalg.norm(g.reshape(-1))
+        res = cg.solve(
+            lambda x: stencil.spmv(Hb, x),
+            -g,
+            precond=lambda x: stencil.apply_block_diag(P, x),
+            max_iterations=200,
+            error_tolerance=gnorm * 0.01,
+            q_tolerance=1e-3,
+        )
+        delta = res.x
+        bad = ~jnp.isfinite(delta).all()
+        delta = jnp.where(bad, 0.0, delta)
+
+        proj1, _ = _all_projections(s, view)
+        s2 = S.update_nodes(s, delta)
+        proj2, _ = _all_projections(s2, view)
+        diff = jnp.linalg.norm(proj1 - proj2, axis=-1)  # [N, ny, nx, P]
+        diff = jnp.moveaxis(diff, 0, -1)  # [ny, nx, P, N]
+
+        corner_active = (act[:-1, :-1] | act[:-1, 1:]
+                         | act[1:, :-1] | act[1:, 1:])
+        mask = (vis[:, :, None, :] & corner_active[:, :, None, None]
+                & patch_valid[:, :, None, None])
+        maskf = mask.astype(diff.dtype)
+        avg = jnp.sum(diff * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
+
+        moved = ((diff > 0.15) & mask).any((-1, -2))  # [ny, nx]
+        ny1, nx1 = node_valid.shape
+        new_active = jnp.zeros((ny1, nx1), bool)
+        mp = moved
+        new_active = new_active.at[:-1, :-1].max(mp)
+        new_active = new_active.at[:-1, 1:].max(mp)
+        new_active = new_active.at[1:, :-1].max(mp)
+        new_active = new_active.at[1:, 1:].max(mp)
+        new_active = new_active & node_valid
+
+        return (s2.nodes, new_active, bad, avg, res.iterations,
+                jnp.sum(new_active))
+
+    return step
+
+
+def run_newton_iterations(
+    surf: S.Surface,
+    main: StereoViewState,
+    subs: list[StereoViewState],
+    view: gn.ViewSet,
+    opts: OptimizerOptions,
+    lighting,
+    sgm_depth,
+    log=None,
+) -> S.Surface:
+    """Reference `DepthOptimizer::run_newton_iterations` (:164-358)."""
+    inv_cal = main.camera.inverse_calibration(main.width, main.height)
+    main_img = main.at_scale(surf.scale).image
+    sub_imgs = jnp.stack([s.at_scale(surf.scale).image for s in subs])
+
+    vis = None
+    finished = False
+    num_valid_patches = int(surf.num_valid_patches())
+    for it in range(opts.num_iterations):
+        if it == 0:
+            surf, vis = compute_visibility(surf, view, sgm_depth,
+                                           opts.use_sgm, main_img, sub_imgs)
+            deleted = 1 << 30
+            while deleted > 10:
+                surf, d = cut_boundaries(surf, view, vis, inv_cal)
+                vis = vis & surf.patch_valid[..., None]
+                deleted = int(d)
+
+        step = make_newton_step(surf, view, opts, lighting)
+        active = surf.node_valid
+        num_initial = max(int(jnp.sum(active)), 1)
+        num_active = num_initial
+        nodes = surf.nodes
+        nsteps = 0
+        while nsteps < opts.max_newton_steps and num_active > num_initial // 20:
+            nsteps += 1
+            nodes, active, bad, avg, cg_iters, n_act = step(
+                nodes, surf.node_valid, surf.patch_valid, vis, active
+            )
+            if bool(bad):
+                break
+            if opts.full_optimization:
+                if float(avg) < 0.01:
+                    break
+                num_active = num_initial  # keep iterating
+                continue
+            num_active = int(n_act)
+        surf = dataclasses.replace(surf, nodes=nodes)
+        if log:
+            log(f"  iter {it}: {nsteps} newton steps, "
+                f"{int(surf.num_valid_patches())} patches")
+
+        if finished:
+            break
+
+        deleted = 1 << 30
+        while deleted > 10:
+            surf, d = cut_boundaries(surf, view, vis, inv_cal)
+            vis = vis & surf.patch_valid[..., None]
+            deleted = int(d)
+        if not opts.use_sgm:
+            surf = S.expand(surf)
+            surf, vis = compute_visibility(surf, view, sgm_depth,
+                                           opts.use_sgm, main_img, sub_imgs)
+            deleted = 1 << 30
+            while deleted > 10:
+                surf, d = cut_boundaries(surf, view, vis, inv_cal)
+                vis = vis & surf.patch_valid[..., None]
+                deleted = int(d)
+        surf = S.remove_isolated_patches(surf)
+        vis = vis & surf.patch_valid[..., None]
+
+        num_valid_new = int(surf.num_valid_patches())
+        lo = min(num_valid_new, num_valid_patches)
+        hi = max(num_valid_new, num_valid_patches, 1)
+        change = 1.0 - lo / hi
+        if it > 0 and (num_valid_new <= num_valid_patches
+                       or change < 0.05 * surf.scale):
+            finished = True
+        num_valid_patches = num_valid_new
+    return surf
+
+
+# ---------------------------------------------------------------------------
+# top-level per-view optimization
+
+
+@dataclasses.dataclass
+class DepthResult:
+    depth: jnp.ndarray  # [H, W] z-depth, 0 = unreconstructed
+    normals: jnp.ndarray  # [H, W, 3]
+    surface: S.Surface
+    lighting: Optional[jnp.ndarray] = None
+
+
+def optimize_view(
+    main: StereoViewState,
+    subs: list[StereoViewState],
+    opts: OptimizerOptions,
+    init_depth: Optional[jnp.ndarray] = None,
+    sgm_depth: Optional[jnp.ndarray] = None,
+    init_surface: Optional[S.Surface] = None,
+    log=None,
+) -> DepthResult:
+    """Full coarse-to-fine optimization of one view
+
+    (reference `DepthOptimizer::optimize`, `lib/depth_optimizer.cc:53-162`).
+    `init_depth` is a sparse/dense z-depth prior (SfM splats or SGM);
+    `sgm_depth` additionally feeds the visibility z-buffer when use_sgm.
+    """
+    dtype = jnp.float32
+    if init_surface is not None:
+        surf = init_surface
+        fill_src = None
+    else:
+        scale0 = initial_scale(main.width, main.height)
+        if opts.use_sgm:
+            assert sgm_depth is not None
+            filt = bilateral.depthmap_bilateral_filter(
+                sgm_depth.astype(dtype), main.image.astype(dtype))
+            surf = S.create_from_depth(filt, scale0)
+            fill_src = filt
+            sgm_depth = filt
+        else:
+            assert init_depth is not None
+            surf = S.create_from_depth(init_depth.astype(dtype), scale0 + 1)
+            fill_src = init_depth.astype(dtype)
+
+    lighting = None
+
+    def run_scale(surf):
+        nonlocal lighting
+        if log:
+            log(f"### scale {surf.scale}: "
+                f"{int(surf.num_valid_patches())} patches")
+        view = _build_viewset(main, subs, surf.scale,
+                              opts.use_shading, surf.nodes.dtype)
+        if opts.use_shading and surf.scale < 4:
+            shading_img, _ = main.shading_images()
+            nmap = S.normal_map(surf, 1.0 / main.flen())
+            lighting = fit_lighting(nmap, shading_img.astype(surf.nodes.dtype))
+        return run_newton_iterations(surf, main, subs, view, opts, lighting,
+                                     sgm_depth, log=log)
+
+    surf = run_scale(surf)
+    while surf.scale > opts.min_scale and surf.scale > 0:
+        surf = S.subdivide(surf)
+        if fill_src is not None:
+            surf = S.fill_patches_from_depth(surf, fill_src)
+        surf = run_scale(surf)
+
+    depth = S.depth_map(surf)
+    normals = S.normal_map(surf, 1.0 / main.flen())
+    return DepthResult(depth=depth, normals=normals, surface=surf,
+                       lighting=lighting)

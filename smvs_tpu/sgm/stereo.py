@@ -1,0 +1,275 @@
+"""Semi-global matching depth initialization (plane sweep in inverse depth).
+
+TPU-native counterpart of reference `lib/sgm_stereo.cc`. Structure:
+
+- 9x7 census transform packed into two uint32 lanes (no uint64 on TPU),
+- per-depth-plane warp + census + Hamming cost (`create_cost_volume`,
+  reference :150-244), streamed over planes with `lax.map`,
+- 8-path min-plus aggregation as `lax.scan` over the scan axis, vectorized
+  over the perpendicular axis with the depth axis in the 128-lane dimension
+  (the standard 3-candidate SGM recurrence the reference's SSE kernel also
+  uses, :361-406). Penalty P2 is intensity-adaptive like the scalar path
+  (:316-319),
+- WTA + bidirectional consistency (:46-96, :274-306).
+
+All integer arithmetic is int32 (TPU-native); costs are bounded well below
+2^31 because each step subtracts the previous minimum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smvs_tpu.geometry import correspondence as corr
+from smvs_tpu.image import ops as iops
+
+INVALID_COST = 255  # reference fills missing warps with 255 (:216-221)
+
+
+@dataclasses.dataclass(frozen=True)
+class SGMOptions:
+    """Mirror of `SGMStereo::Options` (reference `lib/sgm_stereo.h:24-34`)."""
+
+    scale: int = 1
+    num_steps: int = 128
+    debug_lvl: int = 0
+    min_depth: float = 0.0
+    max_depth: float = 0.0
+    penalty1: int = 6
+    penalty2: int = 96
+
+
+def depth_planes(min_depth: float, max_depth: float, num_steps: int) -> np.ndarray:
+    """Inverse-depth sweep values (reference :193-203)."""
+    inv = np.linspace(1.0 / max_depth, 1.0 / min_depth, num_steps)
+    return (1.0 / inv).astype(np.float32)
+
+
+@jax.jit
+def census_transform(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """9(x) x 7(y) census over [H, W] intensities -> two uint32 planes.
+
+    Bit order follows reference :126-148 (x-major over the window, MSB
+    first); split into (hi: first 31 bits, lo: last 32 bits). Pixels with
+    value 0 and the border band get census 0.
+    """
+    h, w = img.shape
+    bits = []
+    center = img
+    pad = jnp.pad(img, ((3, 3), (4, 4)))
+    for dx in range(-4, 5):
+        for dy in range(-3, 4):
+            nb = pad[3 + dy : 3 + dy + h, 4 + dx : 4 + dx + w]
+            bits.append((center < nb).astype(jnp.uint32))
+    hi = jnp.zeros((h, w), jnp.uint32)
+    lo = jnp.zeros((h, w), jnp.uint32)
+    for b in bits[:31]:
+        hi = (hi << 1) | b
+    for b in bits[31:]:
+        lo = (lo << 1) | b
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    interior = ((xs >= 4) & (xs < w - 5))[None, :] & \
+        ((ys >= 3) & (ys < h - 4))[:, None]
+    valid = interior & (center != 0)
+    return jnp.where(valid, hi, 0), jnp.where(valid, lo, 0)
+
+
+def _hamming(a_hi, a_lo, b_hi, b_lo):
+    pc = jax.lax.population_count
+    return (pc(a_hi ^ b_hi) + pc(a_lo ^ b_lo)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("plane_chunk",))
+def cost_volume(
+    main_img: jnp.ndarray,  # [H, W] float intensities (0..255 scale)
+    neighbor_img: jnp.ndarray,  # [Hn, Wn]
+    M: jnp.ndarray,
+    t: jnp.ndarray,
+    depths: jnp.ndarray,  # [D]
+    plane_chunk: int = 8,
+) -> jnp.ndarray:
+    """Census Hamming cost volume [H, W, D] int32 (reference :193-244)."""
+    h, w = main_img.shape
+    hn, wn = neighbor_img.shape
+    m_hi, m_lo = census_transform(main_img)
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    u = xs.astype(main_img.dtype) + 0.5
+    v = ys.astype(main_img.dtype) + 0.5
+
+    def per_plane(d):
+        proj, depth_n = corr.warp(M, t, u, v, d)
+        px = proj[..., 0] - 0.5
+        py = proj[..., 1] - 0.5
+        ok = (depth_n > 0) & (px >= 0) & (py >= 0) & (px <= wn - 1) & \
+            (py <= hn - 1)
+        warped = jnp.where(ok, iops.bilinear(neighbor_img, px, py), 0.0)
+        w_hi, w_lo = census_transform(warped)
+        cost = _hamming(m_hi, m_lo, w_hi, w_lo)
+        return jnp.where(warped != 0, cost, INVALID_COST)
+
+    D = depths.shape[0]
+    chunks = (D + plane_chunk - 1) // plane_chunk
+    dpad = jnp.pad(depths, (0, chunks * plane_chunk - D))
+    out = jax.lax.map(jax.vmap(per_plane),
+                      dpad.reshape(chunks, plane_chunk))
+    out = out.reshape(chunks * plane_chunk, h, w)[:D]
+    return jnp.moveaxis(out, 0, -1)  # [H, W, D]
+
+
+def _path_update(prev: jnp.ndarray, cost: jnp.ndarray, p1: int,
+                 p2: jnp.ndarray) -> jnp.ndarray:
+    """One min-plus step. prev/cost: [..., D]; p2 broadcastable [...]
+
+    new = cost + min(prev, prev<<1 + P1, prev>>1 + P1, min_prev + P2) - min_prev
+    (reference :328-345 scalar, :361-406 SSE).
+    """
+    big = jnp.asarray(1 << 24, prev.dtype)
+    up = jnp.concatenate([prev[..., 1:], jnp.full_like(prev[..., :1], big)],
+                         axis=-1)
+    dn = jnp.concatenate([jnp.full_like(prev[..., :1], big), prev[..., :-1]],
+                         axis=-1)
+    min_prev = prev.min(axis=-1, keepdims=True)
+    upd = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
+                      min_prev + p2[..., None])
+    return cost + upd - min_prev
+
+
+def _adaptive_p2(i1: jnp.ndarray, i2: jnp.ndarray, p1: int, p2: int
+                 ) -> jnp.ndarray:
+    """P2 scaled by inverse intensity difference (reference :314-319)."""
+    diff = jnp.abs(i1 - i2).astype(jnp.int32) + 1
+    return jnp.maximum(p1 * 3 // 2, p2 // diff)
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2"))
+def aggregate(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int, p2: int
+              ) -> jnp.ndarray:
+    """8-path SGM aggregation (reference `aggregate_sgm_costs`, :429-667).
+
+    cost: [H, W, D] int32; intensity: [H, W] (for adaptive P2).
+    Returns summed path costs [H, W, D] int32.
+    """
+    inten = intensity.astype(jnp.int32)
+
+    def scan_lines(cost_lw, inten_lw, shift: int):
+        """Scan along axis 0 of cost_lw [L, Wp, D]; the carried previous line
+        is shifted by `shift` in the perpendicular axis (diagonal paths).
+        Border positions restart from the raw cost (reference's border
+        initialization)."""
+        big = jnp.asarray(1 << 24, cost_lw.dtype)
+
+        def step(carry, xs):
+            prev, prev_int = carry
+            c, it = xs
+            if shift:
+                prev = jnp.roll(prev, shift, axis=0)
+                prev_int = jnp.roll(prev_int, shift, axis=0)
+                border = jnp.zeros(prev.shape[0], bool)
+                idx = 0 if shift > 0 else prev.shape[0] - 1
+                border = border.at[idx].set(True)
+                prev = jnp.where(border[:, None], big, prev)
+            p2a = _adaptive_p2(it, prev_int, p1, p2)
+            new = _path_update(prev, c, p1, p2a)
+            if shift:
+                new = jnp.where(border[:, None], c, new)
+            return (new, it), new
+
+        first = cost_lw[0]
+        (_, _), rest = jax.lax.scan(step, (first, inten_lw[0]),
+                                    (cost_lw[1:], inten_lw[1:]))
+        return jnp.concatenate([first[None], rest], axis=0)
+
+    total = jnp.zeros_like(cost)
+    # Left-to-right / right-to-left: scan over x; lines are columns.
+    cx = jnp.moveaxis(cost, 1, 0)  # [W, H, D]
+    ix = jnp.moveaxis(inten, 1, 0)  # [W, H]
+    total = total + jnp.moveaxis(scan_lines(cx, ix, 0), 0, 1)
+    total = total + jnp.moveaxis(scan_lines(cx[::-1], ix[::-1], 0)[::-1], 0, 1)
+    # Top-to-bottom / bottom-to-top (+ diagonals): scan over y.
+    for shift in (0, 1, -1):
+        total = total + scan_lines(cost, inten, shift)
+        total = total + scan_lines(cost[::-1], inten[::-1], shift)[::-1]
+    return total
+
+
+@jax.jit
+def winner_take_all(sgm_volume: jnp.ndarray, intensity: jnp.ndarray,
+                    depths: jnp.ndarray) -> jnp.ndarray:
+    """WTA depth extraction (reference `depth_from_sgm_volume`, :274-306):
+
+    reject min_index < 2 and dark pixels (< 25/255 intensity)."""
+    idx = jnp.argmin(sgm_volume, axis=-1)
+    depth = depths[idx]
+    ok = (idx >= 2) & (intensity >= 25)
+    return jnp.where(ok, depth, 0.0)
+
+
+def run_sgm(main_img, neighbor_img, M, t, min_depth, max_depth,
+            opts: SGMOptions) -> jnp.ndarray:
+    """Single-direction SGM depth map (reference `run_sgm`, :98-124)."""
+    depths = jnp.asarray(depth_planes(min_depth, max_depth, opts.num_steps))
+    cost = cost_volume(main_img, neighbor_img, M, t, depths)
+    agg = aggregate(cost, main_img, opts.penalty1, opts.penalty2)
+    return winner_take_all(agg, main_img, depths)
+
+
+@jax.jit
+def consistency_filter(d_main: jnp.ndarray, d_neig: jnp.ndarray,
+                       M: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional consistency (reference `reconstruct`, :64-91):
+
+    zero pixels whose reprojection misses the neighbor (3% border) or whose
+    depth ratio with the neighbor's estimate is < 0.8."""
+    h, w = d_main.shape
+    hn, wn = d_neig.shape
+    cut = 0.03 * max(wn, hn)
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    # NOTE: the reference warps integer coords here (no +0.5), :77.
+    proj, cdepth = corr.warp(M, t, xs.astype(d_main.dtype),
+                             ys.astype(d_main.dtype), d_main)
+    px, py = proj[..., 0], proj[..., 1]
+    inb = (px >= cut) & (px < wn - cut) & (py >= cut) & (py < hn - cut)
+    cx = jnp.clip(px.astype(jnp.int32), 0, wn - 1)
+    cy = jnp.clip(py.astype(jnp.int32), 0, hn - 1)
+    ndepth = d_neig[cy, cx]
+    ratio = jnp.minimum(cdepth, ndepth) / jnp.maximum(
+        jnp.maximum(cdepth, ndepth), 1e-20)
+    ok = (d_main > 0) & inb & (ndepth > 0) & (ratio >= 0.8)
+    return jnp.where(ok, d_main, 0.0)
+
+
+def reconstruct(
+    main_img: jnp.ndarray,
+    neighbor_img: jnp.ndarray,
+    M_mn: jnp.ndarray,
+    t_mn: jnp.ndarray,
+    M_nm: jnp.ndarray,
+    t_nm: jnp.ndarray,
+    range_main: tuple[float, float],
+    range_neighbor: tuple[float, float],
+    opts: SGMOptions = SGMOptions(),
+) -> jnp.ndarray:
+    """Full bidirectional SGM (reference `SGMStereo::reconstruct`, :46-96).
+
+    Images are [H, W] intensities on a 0..255 scale (byte-image semantics of
+    the reference); (M_mn, t_mn) warps main->neighbor, (M_nm, t_nm) the
+    reverse. Depth ranges are per-view sweep bounds.
+    """
+    d_main = run_sgm(main_img, neighbor_img, M_mn, t_mn, *range_main, opts)
+    d_neig = run_sgm(neighbor_img, main_img, M_nm, t_nm, *range_neighbor, opts)
+    return consistency_filter(d_main, d_neig, M_mn, t_mn)
+
+
+def depth_range_from_features(feature_depths: np.ndarray
+                              ) -> tuple[float, float]:
+    """SfM-feature-based sweep range (reference :669-720)."""
+    d = np.sort(np.asarray(feature_depths))
+    if d.size < 2:
+        return 0.3, 1.1
+    return float(d[0] * 0.7), float(d[(d.size * 99) // 100] * 5.0)

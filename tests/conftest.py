@@ -1,0 +1,24 @@
+"""Test configuration: force a virtual 8-device CPU mesh and enable f64.
+
+The container's sitecustomize imports jax at interpreter startup and points
+it at a tunneled TPU backend (JAX_PLATFORMS=axon), which is far too slow for
+a test loop. `jax.config.update` still works post-import as long as no
+computation has run, so we flip the platform here; XLA_FLAGS must be set
+before the first backend initialization.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

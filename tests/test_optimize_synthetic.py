@@ -1,0 +1,88 @@
+"""End-to-end: recover an analytic slanted plane from two synthetic views.
+
+Counterpart of the reference's hermetic harness
+(`tests/test_optimization.cc`): checkerboard texture, analytic depth,
+second view rendered by warping; run the real optimizer from a coarse
+planar initialization and check depth accuracy against ground truth.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from smvs_tpu.core.synthetic import make_two_view_scene
+from smvs_tpu.pipeline import optimizer as O
+from smvs_tpu.pipeline.views import make_view
+from smvs_tpu.surface import state as S
+
+
+def _setup(dim=232):
+    scene = make_two_view_scene(dim=dim, rotate=True)
+    # Optimize view 1 (analytic depth) against neighbor view 0.
+    main = make_view(scene.cameras[1], scene.images[1], view_id=1,
+                     dtype=jnp.float64)
+    sub = make_view(scene.cameras[0], scene.images[0], view_id=0,
+                    dtype=jnp.float64)
+    gt = scene.depths[1]
+    return main, sub, gt
+
+
+def test_two_view_plane_recovery():
+    main, sub, gt = _setup()
+    scale = 5
+    surf = S.create_planar(6.0, main.width, main.height, scale,
+                           dtype=jnp.float64)
+    opts = O.OptimizerOptions(
+        regularization=0.001,
+        num_iterations=10,
+        min_scale=4,
+        use_sgm=False,
+        full_optimization=True,
+        max_newton_steps=50,
+    )
+    result = O.optimize_view(main, [sub], opts, init_surface=surf)
+    depth = np.asarray(result.depth)
+    mask = depth > 0
+    assert mask.mean() > 0.3, f"coverage too small: {mask.mean():.3f}"
+    rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+    med = np.median(rel)
+    assert med < 0.01, f"median relative depth error {med:.4f}"
+
+
+def test_newton_step_reduces_error():
+    """A few Newton steps from a perturbed ground-truth surface must reduce
+    the depth error (convergence sanity at a single scale)."""
+    main, sub, gt = _setup()
+    scale = 5
+    surf = S.create_planar(1.0, main.width, main.height, scale,
+                           dtype=jnp.float64)
+    # Ground-truth-consistent node init: f = plane value at node, slopes in
+    # patch units; then perturb.
+    ps = surf.patchsize
+    ny1, nx1 = surf.node_valid.shape
+    jj, ii = np.mgrid[0:ny1, 0:nx1]
+    px = surf.start_x + ii * ps
+    py = surf.start_y + jj * ps
+    nodes = np.zeros((ny1, nx1, 4))
+    nodes[..., 0] = 5.0 + 0.005 * px + 0.005 * py
+    nodes[..., 1] = 0.005 * ps
+    nodes[..., 2] = 0.005 * ps
+    rng = np.random.default_rng(0)
+    nodes[..., 0] += rng.normal(scale=0.03, size=(ny1, nx1))
+    surf = dataclasses.replace(surf, nodes=jnp.asarray(nodes))
+
+    opts = O.OptimizerOptions(regularization=0.001, num_iterations=1,
+                              min_scale=scale, use_sgm=False,
+                              full_optimization=True, max_newton_steps=8)
+    view = O._build_viewset(main, [sub], scale, False, jnp.float64)
+
+    def depth_err(s):
+        d = np.asarray(S.depth_map(s))
+        m = d > 0
+        return np.median(np.abs(d[m] - gt[m]))
+
+    err0 = depth_err(surf)
+    out = O.run_newton_iterations(surf, main, [sub], view, opts, None, None)
+    err1 = depth_err(out)
+    assert err1 < err0 * 0.7, f"error did not shrink: {err0:.4f} -> {err1:.4f}"
