@@ -24,7 +24,10 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    # else: keep the environment's platform (the TPU may be registered
+    # under a plugin-specific name, e.g. JAX_PLATFORMS=axon here).
 
     import jax.numpy as jnp
     import numpy as np

@@ -1,0 +1,335 @@
+"""smvsrecon-compatible command line driver.
+
+TPU-native counterpart of reference `app/smvsrecon.cc`: loads an MVE scene,
+selects neighbors per view, runs SGM initialization and the shading-aware
+depth optimizer per view (checkpointed as `smvs-*` embeddings), and fuses
+all depth maps into a point cloud / mesh PLY.
+
+Flag names mirror the reference (`app/smvsrecon.cc:85-140`); the added
+``--platform`` selects the JAX backend.
+
+Usage: python -m smvs_tpu.cli [OPTS] SCENE_DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="smvsrecon", description="Shading aware Multi-View Stereo (TPU)")
+    p.add_argument("scene", help="MVE scene directory")
+    p.add_argument("-a", "--alpha", type=float, default=1.0,
+                   help="Regularization parameter [1]")
+    p.add_argument("-s", "--scale", type=int, default=-1,
+                   help="Scale of input images [auto to <=1.7MP]")
+    p.add_argument("-i", "--image", default="undistorted",
+                   help="Image embedding [undistorted]")
+    p.add_argument("-n", "--neighbors", type=int, default=6)
+    p.add_argument("-o", "--output-scale", type=int, default=2)
+    p.add_argument("-l", "--list-view", default="",
+                   help="view IDs, e.g. \"0-10\" or \"1,3,5\"")
+    p.add_argument("-d", "--debug-lvl", type=int, default=0)
+    p.add_argument("-r", "--recon-only", action="store_true")
+    p.add_argument("-M", "--max-pixels", type=int, default=1700000)
+    p.add_argument("-S", "--shading", action="store_true")
+    p.add_argument("-R", "--regularize-lighting", type=float, default=0.0)
+    p.add_argument("-g", "--gamma-srgb", action="store_true")
+    p.add_argument("-m", "--mesh", action="store_true",
+                   help="triangle mesh instead of point cloud")
+    p.add_argument("-y", "--simplify", action="store_true")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--no-cut", action="store_true")
+    p.add_argument("--aabb", default="")
+    p.add_argument("--min-neighbors", type=int, default=3)
+    p.add_argument("--no-sgm", action="store_true")
+    p.add_argument("--force-sgm", action="store_true")
+    p.add_argument("--sgm-scale", type=int, default=1)
+    p.add_argument("--sgm-range", default="",
+                   help="depth sweep range \"min,max\"")
+    p.add_argument("--full-opt", action="store_true")
+    p.add_argument("--clean", action="store_true")
+    p.add_argument("--platform", default="",
+                   help="JAX platform override (e.g. cpu)")
+    return p
+
+
+def parse_view_list(spec: str, n: int) -> list[int]:
+    if not spec:
+        return list(range(n))
+    out: list[int] = []
+    for part in spec.split(","):
+        if "-" in part:
+            a, b = part.split("-")
+            out += list(range(int(a), int(b) + 1))
+        else:
+            out.append(int(part))
+    return out
+
+
+def main(argv=None) -> int:
+    conf = build_parser().parse_args(argv)
+    if conf.platform:
+        import jax
+
+        jax.config.update("jax_platforms", conf.platform)
+
+    import jax.numpy as jnp
+
+    from smvs_tpu.core import scene as sc
+    from smvs_tpu.core.camera import depth_mve_to_z, depth_z_to_mve
+    from smvs_tpu.image import ops as iops
+    from smvs_tpu.mesh import pointcloud as pc
+    from smvs_tpu.mesh.ply import save_ply
+    from smvs_tpu.pipeline import optimizer as O
+    from smvs_tpu.pipeline import view_selection as vs
+    from smvs_tpu.pipeline.views import make_view
+    from smvs_tpu.sgm import stereo as sgm
+
+    scene = sc.Scene.load(conf.scene)
+    views = scene.views
+    if not views:
+        print(f"error: no views in {conf.scene}", file=sys.stderr)
+        return 1
+    bundle = scene.bundle
+    use_sgm = not conf.no_sgm
+    sgm_range = None
+    if conf.sgm_range:
+        lo, hi = conf.sgm_range.split(",")
+        sgm_range = (float(lo), float(hi))
+    if bundle is None:
+        print("Cannot load bundle file, forcing SGM.")
+        use_sgm = True
+        if sgm_range is None:
+            print("Error: no bundle and no --sgm-range given.",
+                  file=sys.stderr)
+            return 1
+
+    if conf.clean:
+        print("Cleaning scene, removing all result embeddings.")
+        scene.clean_embeddings()
+        return 0
+
+    by_id = {v.view_id: v for v in views}
+    view_ids = [i for i in parse_view_list(conf.list_view,
+                                           max(by_id) + 1)
+                if i in by_id and by_id[i].camera is not None
+                and by_id[i].has_embedding(conf.image)]
+
+    # ---- input scale (reference `app/smvsrecon.cc:476-501`) ---------------
+    sizes = {}
+    for i in view_ids:
+        img = by_id[i].get_image(conf.image)
+        sizes[i] = img.shape[:2]
+    if conf.scale < 0:
+        avg = np.mean([h * w for (h, w) in sizes.values()])
+        conf.scale = int(np.ceil(np.log2(avg / conf.max_pixels) / 2)) \
+            if avg > conf.max_pixels else 0
+        print(f"Automatic input scale: {conf.scale}")
+    input_name = (f"undist-L{conf.scale}" if conf.scale > 0 else conf.image)
+    output_name = ("smvs-S" if conf.shading else "smvs-B") + str(conf.scale)
+    print(f"Input embedding: {input_name}")
+    print(f"Output embedding: {output_name}")
+
+    # ---- downscale inputs (reference :613-650) ----------------------------
+    for i in view_ids:
+        v = by_id[i]
+        if conf.scale > 0 and not v.has_embedding(input_name):
+            img = np.asarray(v.get_image(conf.image), np.float32)
+            if img.dtype == np.uint8 or img.max() > 1.5:
+                img = img / 255.0
+            x = jnp.asarray(img)
+            if x.ndim == 3:
+                x = jnp.moveaxis(x, -1, 0)
+            for _ in range(conf.scale):
+                x = iops.rescale_half_size_gaussian(x)
+            if x.ndim == 3:
+                x = jnp.moveaxis(x, 0, -1)
+            v.set_image(input_name,
+                        np.clip(np.asarray(x) * 255, 0, 255).astype(np.uint8))
+
+    # ---- view selection (reference :560-611) ------------------------------
+    cam_list = [by_id[i].camera if i in by_id else None
+                for i in range(max(by_id) + 1)]
+    size_list = []
+    for i in range(max(by_id) + 1):
+        if i in sizes:
+            h, w = sizes[i]
+            size_list.append((w, h))
+        else:
+            size_list.append((0, 0))
+    neighbors = {}
+    for i in view_ids:
+        nbrs = vs.get_neighbors_for_view(
+            cam_list, size_list, bundle, i,
+            vs.ViewSelectionOptions(num_neighbors=conf.neighbors))
+        nbrs = [n for n in nbrs if n in by_id]
+        if len(nbrs) < conf.min_neighbors:
+            print(f"View {i}: only {len(nbrs)} neighbors, skipping.")
+            continue
+        neighbors[i] = nbrs
+
+    recon_list = [i for i in neighbors
+                  if conf.force or not by_id[i].has_embedding(output_name)]
+    skipped = len(neighbors) - len(recon_list)
+    if skipped:
+        print(f"Skipping {skipped} views that are already reconstructed.")
+
+    # ---- per-view reconstruction (reference :652-735) ---------------------
+    def load_gray(i):
+        img = np.asarray(by_id[i].get_image(input_name), np.float64)
+        if img.max() > 1.5:
+            img = img / 255.0
+        return img.astype(np.float32)
+
+    def stereo_view(i):
+        img = load_gray(i)
+        return make_view(by_id[i].camera, img, view_id=i,
+                         gamma_correction=conf.gamma_srgb)
+
+    t_all = time.time()
+    for i in recon_list:
+        t0 = time.time()
+        main_view = stereo_view(i)
+        subs = [stereo_view(n) for n in neighbors[i]]
+        w, h = main_view.width, main_view.height
+        inv_cal = by_id[i].camera.inverse_calibration(w, h)
+
+        sgm_depth = None
+        if use_sgm:
+            if conf.force_sgm or not by_id[i].has_embedding("smvs-sgm"):
+                sgm_depth = reconstruct_sgm(conf, by_id, i, neighbors[i],
+                                            load_gray, bundle, sgm_range)
+                by_id[i].set_image(
+                    "smvs-sgm",
+                    np.asarray(depth_z_to_mve(
+                        np.asarray(sgm_depth, np.float64),
+                        by_id[i].camera.inverse_calibration(
+                            *sgm_depth.shape[::-1]))).astype(np.float32))
+            else:
+                raw = np.asarray(by_id[i].get_image("smvs-sgm"), np.float64)
+                sgm_depth = depth_mve_to_z(
+                    raw, by_id[i].camera.inverse_calibration(
+                        raw.shape[1], raw.shape[0]))
+            sgm_depth = np.asarray(sgm_depth, np.float32)
+            if sgm_depth.shape != (h, w):  # upsample to working res
+                yy = (np.arange(h) * sgm_depth.shape[0] / h).astype(int)
+                xx = (np.arange(w) * sgm_depth.shape[1] / w).astype(int)
+                sgm_depth = sgm_depth[yy][:, xx]
+            sgm_depth = jnp.asarray(sgm_depth)
+
+        init_depth = None
+        if not use_sgm:
+            init_depth = jnp.asarray(
+                bundle.splat_depth_map(i, by_id[i].camera, w, h))
+
+        opts = O.OptimizerOptions(
+            regularization=0.01 * conf.alpha,
+            light_surf_regularization=conf.regularize_lighting,
+            num_iterations=5,
+            min_scale=conf.output_scale,
+            use_shading=conf.shading,
+            use_sgm=use_sgm,
+            full_optimization=conf.full_opt,
+            debug_lvl=conf.debug_lvl,
+        )
+        log = print if conf.debug_lvl > 0 else None
+        result = O.optimize_view(main_view, subs, opts,
+                                 init_depth=init_depth, sgm_depth=sgm_depth,
+                                 log=log)
+        depth = np.asarray(result.depth, np.float64)
+        by_id[i].set_image(output_name, np.asarray(
+            depth_z_to_mve(depth, inv_cal), np.float32))
+        by_id[i].set_image(output_name + "N",
+                           np.asarray(result.normals, np.float32))
+        if scene.path:
+            by_id[i].save()
+        print(f"View {i} done in {time.time()-t0:.1f}s "
+              f"({len(subs)} neighbors)")
+    print(f"Reconstruction took {time.time()-t_all:.1f}s")
+
+    if conf.recon_only:
+        return 0
+
+    # ---- fusion (reference `generate_mesh`, :278-343) ---------------------
+    depths, normals, cams, colors = [], [], [], []
+    for i in sorted(neighbors):
+        v = by_id[i]
+        if not v.has_embedding(output_name):
+            continue
+        raw = np.asarray(v.get_image(output_name), np.float64)
+        ic = v.camera.inverse_calibration(raw.shape[1], raw.shape[0])
+        depths.append(depth_mve_to_z(raw, ic))
+        normals.append(np.asarray(v.get_image(output_name + "N"), np.float32))
+        cams.append(v.camera)
+        colors.append(load_gray(i))
+    ps = pc.fuse_views(depths, normals, cams, colors,
+                       pc.FusionOptions(cut_surfaces=not conf.no_cut,
+                                        create_triangle_mesh=conf.mesh,
+                                        simplify=conf.simplify))
+    if conf.aabb:
+        vals = [float(x) for x in conf.aabb.split(",")]
+        ps = pc.clip_aabb(ps, vals[:3], vals[3:])
+    mesh_name = ("smvs-" + ("m-" if conf.mesh else "")
+                 + ("S" if conf.shading else "B") + f"{conf.scale}.ply")
+    out_path = os.path.join(scene.path or ".", mesh_name)
+    save_ply(out_path, ps)
+    print(f"Saved {len(ps.vertices)} points to {out_path}")
+    return 0
+
+
+def reconstruct_sgm(conf, by_id, i, nbrs, load_gray, bundle, sgm_range):
+    """SGM of up to 2 neighbors, averaged (reference `app/smvsrecon.cc:347-384`)."""
+    import jax.numpy as jnp
+
+    from smvs_tpu.sgm import stereo as sgm
+
+    def at_sgm_scale(img):
+        from smvs_tpu.image import ops as iops
+
+        x = jnp.asarray(img * 255.0)
+        for _ in range(conf.sgm_scale):
+            x = iops.rescale_half_size(x)
+        return x
+
+    main_img = at_sgm_scale(load_gray(i))
+    h, w = main_img.shape
+    cam_i = by_id[i].camera
+
+    def depth_range(view_id, cam, width, height):
+        if sgm_range is not None:
+            return sgm_range
+        d = bundle.feature_depths_for_view(view_id, cam, width, height)
+        return sgm.depth_range_from_features(d)
+
+    opts = sgm.SGMOptions(scale=conf.sgm_scale, debug_lvl=conf.debug_lvl)
+    acc = None
+    for n in nbrs[:2]:
+        nb_img = at_sgm_scale(load_gray(n))
+        hn, wn = nb_img.shape
+        cam_n = by_id[n].camera
+        M_mn, t_mn = cam_i.fill_reprojection(cam_n, w, h, wn, hn)
+        M_nm, t_nm = cam_n.fill_reprojection(cam_i, wn, hn, w, h)
+        d = sgm.reconstruct(
+            main_img, nb_img, jnp.asarray(M_mn), jnp.asarray(t_mn),
+            jnp.asarray(M_nm), jnp.asarray(t_nm),
+            range_main=depth_range(i, cam_i, w, h),
+            range_neighbor=depth_range(n, cam_n, wn, hn), opts=opts)
+        d = np.asarray(d)
+        if acc is None:
+            acc = d
+        else:
+            both = (acc > 0) & (d > 0)
+            only2 = (acc == 0) & (d > 0)
+            acc = np.where(both, (acc + d) * 0.5, np.where(only2, d, acc))
+    return acc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

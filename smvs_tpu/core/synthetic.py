@@ -130,3 +130,47 @@ def make_two_view_scene(
         width=dim,
         height=dim,
     )
+
+
+def save_as_mve_scene(scene: SyntheticScene, path: str,
+                      n_features: int = 200) -> None:
+    """Write the synthetic scene as an on-disk MVE scene (views + bundle).
+
+    Features are sampled from the last view's analytic depth and
+    back-projected to world, observed by all views — enough for
+    bundle-based view selection and SGM depth ranges.
+    """
+    import os
+
+    from smvs_tpu.core import scene as sc
+
+    views = []
+    for i, (cam, img) in enumerate(zip(scene.cameras, scene.images)):
+        v = sc.View(view_id=i, name=f"{i:03d}", camera=cam)
+        v.set_image("undistorted",
+                    np.clip(img * 255.0, 0, 255).astype(np.uint8))
+        views.append(v)
+
+    ref = len(scene.cameras) - 1
+    cam_r = scene.cameras[ref]
+    depth_r = scene.depths[ref]
+    inv = cam_r.inverse_calibration(scene.width, scene.height)
+    rng = np.random.default_rng(0)
+    feats = []
+    for _ in range(n_features):
+        x = rng.integers(5, scene.width - 5)
+        y = rng.integers(5, scene.height - 5)
+        z = depth_r[y, x]
+        if z <= 0:
+            continue
+        ray = inv @ np.array([x + 0.5, y + 0.5, 1.0])
+        p_cam = ray * z
+        p_world = cam_r.rot.T @ (p_cam - cam_r.trans)
+        feats.append(sc.Feature3D(pos=p_world, color=np.array([128, 128, 128]),
+                                  refs=list(range(len(scene.cameras)))))
+    bundle = sc.Bundle(cameras=list(scene.cameras), features=feats)
+    os.makedirs(path, exist_ok=True)
+    mve = sc.Scene(path=path, views=views, bundle=bundle)
+    for i, v in enumerate(views):
+        v.path = os.path.join(path, "views", f"view_{i:04d}.mve")
+    mve.save()

@@ -117,6 +117,7 @@ def _all_projections(surf: S.Surface, view: gn.ViewSet):
 # visibility (create_subview_surfaces)
 
 
+@partial(jax.jit, static_argnames=("use_sgm",))
 def compute_visibility(
     surf: S.Surface,
     view: gn.ViewSet,
@@ -224,6 +225,7 @@ def compute_visibility(
 # boundary cutting
 
 
+@jax.jit
 def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
                    inv_flen_cal: np.ndarray) -> tuple[S.Surface, jnp.ndarray]:
     """One sweep of boundary cutting (reference `lib/depth_optimizer.cc:360-431`).
@@ -248,13 +250,12 @@ def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
     amax = corners.argmax(-1)
     dd_factor = jnp.where(amin + amax == 3, 5.0 * np.sqrt(2.0), 5.0)
 
-    bx = surf.start_x + np.arange(nx) * ps
-    by = surf.start_y + np.arange(ny) * ps
+    bx = jnp.asarray(surf.start_x + np.arange(nx) * ps, dtype)
+    by = jnp.asarray(surf.start_y + np.arange(ny) * ps, dtype)
     vx = inv_flen_cal[0, 0] * (bx + 0.5) + inv_flen_cal[0, 2]
     vy = inv_flen_cal[1, 1] * (by + 0.5) + inv_flen_cal[1, 2]
-    vnorm = np.sqrt(vx[None, :] ** 2 + vy[:, None] ** 2 + 1.0)
-    threshold = dd_factor * dmin * inv_flen_cal[0, 0] * ps / jnp.asarray(
-        vnorm, dtype)
+    vnorm = jnp.sqrt(vx[None, :] ** 2 + vy[:, None] ** 2 + 1.0)
+    threshold = dd_factor * dmin * inv_flen_cal[0, 0] * ps / vnorm
     cut_depth = (dmax - dmin) > threshold
 
     # -- border-patch photometric error test --------------------------------
@@ -382,9 +383,11 @@ def run_newton_iterations(
     main_img = main.at_scale(surf.scale).image
     sub_imgs = jnp.stack([s.at_scale(surf.scale).image for s in subs])
 
+    inv_cal = jnp.asarray(inv_cal)
     vis = None
     finished = False
     num_valid_patches = int(surf.num_valid_patches())
+    step = make_newton_step(surf, view, opts, lighting)
     for it in range(opts.num_iterations):
         if it == 0:
             surf, vis = compute_visibility(surf, view, sgm_depth,
@@ -395,7 +398,6 @@ def run_newton_iterations(
                 vis = vis & surf.patch_valid[..., None]
                 deleted = int(d)
 
-        step = make_newton_step(surf, view, opts, lighting)
         active = surf.node_valid
         num_initial = max(int(jnp.sum(active)), 1)
         num_active = num_initial

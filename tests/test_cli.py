@@ -1,0 +1,67 @@
+"""End-to-end CLI test: synthetic MVE scene on disk -> smvsrecon -> PLY.
+
+Counterpart of the reference's full `smvsrecon` invocation
+(`app/smvsrecon.cc:388-752`), including the embedding checkpoint/rerun
+semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from smvs_tpu.core.synthetic import make_two_view_scene, save_as_mve_scene
+from smvs_tpu import cli
+from smvs_tpu.mesh.ply import load_ply
+
+
+@pytest.fixture(scope="module")
+def mve_scene(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("scene"))
+    scene = make_two_view_scene(dim=160, rotate=True, texture="noise")
+    save_as_mve_scene(scene, path)
+    return path, scene
+
+
+def test_cli_reconstructs_and_fuses(mve_scene):
+    path, scene = mve_scene
+    rc = cli.main([path, "--min-neighbors", "1", "-o", "4", "-d", "0"])
+    assert rc == 0
+    # per-view outputs checkpointed as embeddings
+    assert os.path.exists(os.path.join(path, "views", "view_0000.mve",
+                                       "smvs-B0.mvei"))
+    assert os.path.exists(os.path.join(path, "views", "view_0001.mve",
+                                       "smvs-sgm.mvei"))
+    ply_path = os.path.join(path, "smvs-B0.ply")
+    assert os.path.exists(ply_path)
+    ps = load_ply(ply_path)
+    assert len(ps.vertices) > 500
+    assert ps.normals is not None and ps.values is not None
+
+    # accuracy: project fused points into view 1, compare against analytic GT
+    cam = scene.cameras[1]
+    p_cam = ps.vertices @ cam.rot.T + cam.trans
+    uv = cam.project(p_cam, scene.width, scene.height)
+    inb = (uv[:, 0] >= 0) & (uv[:, 0] < scene.width) & \
+        (uv[:, 1] >= 0) & (uv[:, 1] < scene.height) & (p_cam[:, 2] > 0)
+    xi = np.clip(uv[inb, 0].astype(int), 0, scene.width - 1)
+    yi = np.clip(uv[inb, 1].astype(int), 0, scene.height - 1)
+    gt = scene.depths[1][yi, xi]
+    ok = gt > 0
+    rel = np.abs(p_cam[inb][ok, 2] - gt[ok]) / gt[ok]
+    assert np.median(rel) < 0.02, f"median fused error {np.median(rel):.4f}"
+
+
+def test_cli_resume_skips_reconstructed(mve_scene, capsys):
+    path, _ = mve_scene
+    rc = cli.main([path, "--min-neighbors", "1", "-o", "4"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Skipping 2 views that are already reconstructed" in out
+
+
+def test_cli_clean(mve_scene):
+    path, _ = mve_scene
+    rc = cli.main([path, "--clean", "--min-neighbors", "1"])
+    assert rc == 0
+    assert not os.path.exists(os.path.join(path, "views", "view_0000.mve",
+                                           "smvs-B0.mvei"))
