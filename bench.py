@@ -1,0 +1,113 @@
+"""Benchmark: per-chip depth-map reconstruction throughput.
+
+Runs the full per-view pipeline (SGM plane-sweep init + coarse-to-fine
+Gauss-Newton surface optimization) on a synthetic two-view scene on the
+default device (the real TPU chip under the driver), and reports megapixels
+of depth map reconstructed per second.
+
+The first pass warms the persistent compilation cache (kept in
+``.jax_cache/`` so later rounds reuse it); the reported number is the
+steady-state second pass.
+
+Baseline: the reference `smvsrecon` is CPU-only and publishes no numbers
+(BASELINE.md); its documented envelope (~1 thread per view, ~2 MP working
+resolution, minutes per view) corresponds to roughly 0.033 MP/s per thread
+(2 MP / 60 s). ``vs_baseline`` is measured against that estimate until a
+real smvsrecon measurement is available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_CPU_MPS = 0.033  # estimated reference smvsrecon MP/s per thread
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_once(dim, min_scale):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvs_tpu.core.synthetic import make_two_view_scene
+    from smvs_tpu.pipeline import optimizer as O
+    from smvs_tpu.pipeline.views import make_view
+    from smvs_tpu.sgm import stereo as sgm
+
+    scene = make_two_view_scene(dim=dim, rotate=True, texture="noise")
+    main_v = make_view(scene.cameras[1], scene.images[1], view_id=1)
+    sub_v = make_view(scene.cameras[0], scene.images[0], view_id=0)
+
+    t0 = time.time()
+    M_mn, t_mn = scene.cameras[1].fill_reprojection(
+        scene.cameras[0], dim, dim, dim, dim)
+    M_nm, t_nm = scene.cameras[0].fill_reprojection(
+        scene.cameras[1], dim, dim, dim, dim)
+    sgm_depth = sgm.reconstruct(
+        jnp.asarray(scene.images[1] * 255.0),
+        jnp.asarray(scene.images[0] * 255.0),
+        jnp.asarray(M_mn), jnp.asarray(t_mn),
+        jnp.asarray(M_nm), jnp.asarray(t_nm),
+        range_main=(3.5, 9.5), range_neighbor=(3.5, 9.5),
+    )
+    sgm_depth.block_until_ready()
+    t_sgm = time.time() - t0
+
+    t0 = time.time()
+    opts = O.OptimizerOptions(
+        regularization=0.01, num_iterations=5, min_scale=min_scale,
+        use_sgm=True, full_optimization=False,
+    )
+    result = O.optimize_view(main_v, [sub_v], opts, sgm_depth=sgm_depth,
+                             log=log)
+    result.depth.block_until_ready()
+    t_opt = time.time() - t0
+
+    depth = np.asarray(result.depth)
+    mask = depth > 0
+    gt = scene.depths[1]
+    rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+    return t_sgm, t_opt, float(mask.mean()), float(np.median(rel))
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    dim = int(os.environ.get("SMVS_BENCH_DIM", "360"))
+    min_scale = int(os.environ.get("SMVS_BENCH_MIN_SCALE", "2"))
+    log(f"bench: devices={jax.devices()} dim={dim} min_scale={min_scale}")
+
+    log("warmup pass (populates compile cache)...")
+    t0 = time.time()
+    run_once(dim, min_scale)
+    log(f"warmup took {time.time()-t0:.1f}s")
+
+    log("measured pass...")
+    t_sgm, t_opt, coverage, med_err = run_once(dim, min_scale)
+    total = t_sgm + t_opt
+    mps = (dim * dim / 1e6) / total
+    log(f"sgm={t_sgm:.2f}s opt={t_opt:.2f}s coverage={coverage:.1%} "
+        f"median_err={med_err:.5f}")
+
+    print(json.dumps({
+        "metric": "depth_map_throughput",
+        "value": round(mps, 4),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / BASELINE_CPU_MPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,19 @@ def fuse_views(
     if opts.cut_surfaces and len(depths) > 1:
         depths = cut_depth_maps(depths, normals_w, positions, cameras)
 
+    if opts.create_triangle_mesh:
+        from smvs_tpu.mesh import triangulate as tri
+
+        meshes = []
+        for i, d in enumerate(depths):
+            col = None if colors is None else colors[i]
+            if opts.simplify:
+                meshes.append(tri.approximate_triangulation(d, cameras[i]))
+            else:
+                meshes.append(tri.full_triangulation(d, cameras[i],
+                                                     color=col))
+        return tri.merge_meshes(meshes)
+
     verts, norms, vals, confs, cols = [], [], [], [], []
     for i, d in enumerate(depths):
         mask = d > 0

@@ -99,13 +99,12 @@ def _gather_image_at(img: jnp.ndarray, px: np.ndarray, py: np.ndarray) -> jnp.nd
 
 
 def _patch_residuals(
-    params16: jnp.ndarray,  # [16]
+    vals: jnp.ndarray,  # [P, 6] per-pixel (w, dx, dy, dxy, dxx, dyy)
     pix_u: jnp.ndarray,  # [P] pixel centers (px + 0.5)
     pix_v: jnp.ndarray,  # [P]
     grad_main: jnp.ndarray,  # [P, 2]
     vis: jnp.ndarray,  # [N] float (0/1)
     view: ViewSet,
-    basis: jnp.ndarray,  # [P, 6, 16] pixel-unit bicubic basis
     lighting: jnp.ndarray | None,  # [16] SH params or None
     opts: GNOptions,
     width: int,
@@ -114,21 +113,27 @@ def _patch_residuals(
 ):
     """Residual vector (and IRLS weights) for one patch.
 
+    Takes the *per-pixel surface values* — each residual row depends only on
+    its own pixel's 6 values, and the values are linear in the 16 node
+    params (vals = basis @ params), so the param Jacobian factorizes as
+    J_params = J_vals @ basis. This mirrors the reference's chaining through
+    per-pixel node-derivative tables (`lib/gauss_newton_step.cc:43-51`)
+    while letting `jacfwd` push only 6 tangents.
+
     Returns (residuals [P, C], weights [P, C]) with C =
     2*N (data) + N*(N-1) (pairs) + 6 (regularizer) + 2 (shading; zero-weight
     when lighting is None). Weights fold in visibility masks and must be
     treated as constants (the caller stop-gradients them).
     """
     n_sub = view.M.shape[0]
-    dtype = params16.dtype
+    dtype = vals.dtype
 
-    vals = jnp.einsum("pkm,m->pk", basis, params16)  # [P, 6]
-    w = vals[:, 0]
-    wdx = vals[:, 1]
-    wdy = vals[:, 2]
-    dxy = vals[:, 3]
-    dxx = vals[:, 4]
-    dyy = vals[:, 5]
+    w = vals[..., 0]
+    wdx = vals[..., 1]
+    wdy = vals[..., 2]
+    dxy = vals[..., 3]
+    dxx = vals[..., 4]
+    dyy = vals[..., 5]
 
     # --- data terms: warped neighbor gradient vs main gradient -------------
     def per_neighbor(M, t, grad_img, hess_img):
@@ -248,24 +253,40 @@ def patch_grad_hessian(
     params16, pix_u, pix_v, grad_main, vis, patch_ok, view, basis, lighting,
     opts, width, height,
 ):
-    """(g [16], H [16,16]) for one patch via jacfwd + weighted einsum."""
+    """(g [16], H [16,16]) for one patch.
+
+    The residuals depend on the node params only through the 6 per-pixel
+    surface values (linear: vals = basis @ params), so we linearize once in
+    value space (6 tangents) and contract through the basis with matmuls:
+    H = sum_p basis_p^T (J6^T W J6)_p basis_p. This is the MXU-friendly
+    factorization of the reference's per-patch 16x16 accumulation
+    (`lib/gauss_newton_step.cc:88-122`).
+    """
     params_safe = jnp.where(patch_ok, params16,
                             jnp.zeros_like(params16).at[0::4].set(1.0))
+    vals = jnp.einsum("pkm,m->pk", basis, params_safe)  # [P, 6]
 
-    def res_fn(p):
-        return _patch_residuals(p, pix_u, pix_v, grad_main, vis, view, basis,
+    def res_fn(v):
+        return _patch_residuals(v, pix_u, pix_v, grad_main, vis, view,
                                 lighting, opts, width, height,
                                 want_weights=False)
 
-    residuals, weights = _patch_residuals(
-        params_safe, pix_u, pix_v, grad_main, vis, view, basis, lighting,
+    _, weights = _patch_residuals(
+        vals, pix_u, pix_v, grad_main, vis, view, lighting,
         opts, width, height, want_weights=True)
     weights = jax.lax.stop_gradient(weights) * patch_ok
-    J = jax.jacfwd(res_fn)(params_safe)  # [P, C, 16]
-    J = _nan0(J)
+    residuals, f_jvp = jax.linearize(res_fn, vals)
+    cols = []
+    for k in range(6):
+        seed = jnp.zeros_like(vals).at[:, k].set(1.0)
+        cols.append(f_jvp(seed))
+    J6 = _nan0(jnp.stack(cols, axis=-1))  # [P, C, 6]
     residuals = _nan0(residuals)
-    g = jnp.einsum("pcm,pc->m", J, weights * residuals)
-    H = jnp.einsum("pcm,pc,pcn->mn", J, weights, J)
+
+    A = jnp.einsum("pck,pc,pcl->pkl", J6, weights, J6)  # [P, 6, 6]
+    b = jnp.einsum("pck,pc->pk", J6, weights * residuals)  # [P, 6]
+    H = jnp.einsum("pkm,pkl,pln->mn", basis, A, basis)
+    g = jnp.einsum("pkm,pk->m", basis, b)
     return g, H
 
 

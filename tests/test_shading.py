@@ -1,0 +1,80 @@
+"""Shading subsystem tests: SH lighting fit + shading-aware optimization."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from smvs_tpu.core.synthetic import make_two_view_scene
+from smvs_tpu.pipeline import optimizer as O
+from smvs_tpu.pipeline.views import make_view
+from smvs_tpu.shading import lighting, sh
+from smvs_tpu.surface import state as S
+
+
+def _random_unit_normals(n, rng):
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    # camera-facing hemisphere like real normal maps
+    v[:, 2] = -np.abs(v[:, 2])
+    return v
+
+
+def test_fit_lighting_recovers_params():
+    rng = np.random.default_rng(0)
+    # strong ambient keeps the render positive (no clamping, exact fit)
+    params_true = jnp.asarray(rng.normal(size=16) * 0.05 +
+                              np.eye(16)[0] * 2.0)
+    normals = _random_unit_normals(64 * 64, rng).reshape(64, 64, 3)
+    image = lighting.value_for_normal(params_true, jnp.asarray(normals))
+    assert float(image.min()) > 0.05
+    fitted = lighting.fit_lighting(jnp.asarray(normals), image)
+    # The fit reproduces the *shading*, not necessarily the coefficients
+    # (the scaled SH basis is not orthogonal).
+    recon = lighting.value_for_normal(fitted, jnp.asarray(normals))
+    err = np.abs(np.asarray(recon) - np.asarray(image))
+    mask = np.asarray(image) > 0.06
+    assert np.median(err[mask]) < 1e-6
+
+
+def test_fit_lighting_ignores_invalid_normals():
+    rng = np.random.default_rng(1)
+    normals = _random_unit_normals(100, rng).reshape(10, 10, 3)
+    normals[0, :] = 0.0  # invalid
+    params = jnp.asarray(rng.normal(size=16))
+    img = lighting.value_for_normal(params, jnp.asarray(normals))
+    img = jnp.maximum(img, 0.06)
+    fitted = lighting.fit_lighting(jnp.asarray(normals), img)
+    assert np.isfinite(np.asarray(fitted)).all()
+
+
+def test_render_normal_map_zeroes_invalid():
+    params = jnp.zeros(16).at[0].set(1.0)
+    nm = jnp.zeros((4, 4, 3)).at[1, 1].set(jnp.asarray([0.0, 0.0, -1.0]))
+    out = np.asarray(lighting.render_normal_map(params, nm))
+    assert out[1, 1] != 0.0
+    assert out[0, 0] == 0.0
+
+
+def test_shading_aware_optimization_runs():
+    # End-to-end smoke: the -S path (SH fit at scale<4 + shading term in the
+    # GN assembly) must run and still recover the plane.
+    scene = make_two_view_scene(dim=200, rotate=True)
+    main = make_view(scene.cameras[1], scene.images[1], view_id=1,
+                     dtype=jnp.float64)
+    sub = make_view(scene.cameras[0], scene.images[0], view_id=0,
+                    dtype=jnp.float64)
+    gt = scene.depths[1]
+    surf = S.create_planar(6.0, main.width, main.height, 4, dtype=jnp.float64)
+    opts = O.OptimizerOptions(
+        regularization=0.001, light_surf_regularization=50.0,
+        num_iterations=4, min_scale=3, use_sgm=False, use_shading=True,
+        full_optimization=True, max_newton_steps=30,
+    )
+    result = O.optimize_view(main, [sub], opts, init_surface=surf)
+    assert result.lighting is not None
+    depth = np.asarray(result.depth)
+    mask = depth > 0
+    assert mask.mean() > 0.2
+    rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+    assert np.median(rel) < 0.02, f"median error {np.median(rel):.4f}"
