@@ -24,6 +24,7 @@ def main():
     args = ap.parse_args()
 
     import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     # else: keep the environment's platform (the TPU may be registered

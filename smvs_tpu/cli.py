@@ -75,6 +75,12 @@ def parse_view_list(spec: str, n: int) -> list[int]:
 
 def main(argv=None) -> int:
     conf = build_parser().parse_args(argv)
+    import jax
+
+    # Surface depths need true f32 matmuls; the TPU MXU default
+    # (bf16 passes) quantizes depth enough to break the boundary
+    # cutting thresholds.
+    jax.config.update("jax_default_matmul_precision", "highest")
     if conf.platform:
         import jax
 

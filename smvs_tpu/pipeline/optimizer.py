@@ -26,6 +26,7 @@ from smvs_tpu.solver import cg, gn, stencil
 from smvs_tpu.surface import bicubic
 from smvs_tpu.surface import state as S
 from smvs_tpu.pipeline.views import StereoViewState
+from smvs_tpu.utils.timing import StageTimer
 
 
 @dataclasses.dataclass
@@ -377,6 +378,7 @@ def run_newton_iterations(
     lighting,
     sgm_depth,
     log=None,
+    timer: StageTimer | None = None,
 ) -> S.Surface:
     """Reference `DepthOptimizer::run_newton_iterations` (:164-358)."""
     inv_cal = main.camera.inverse_calibration(main.width, main.height)
@@ -384,17 +386,21 @@ def run_newton_iterations(
     sub_imgs = jnp.stack([s.at_scale(surf.scale).image for s in subs])
 
     inv_cal = jnp.asarray(inv_cal)
+    timer = timer or StageTimer()
     vis = None
     finished = False
     num_valid_patches = int(surf.num_valid_patches())
     step = make_newton_step(surf, view, opts, lighting)
     for it in range(opts.num_iterations):
         if it == 0:
-            surf, vis = compute_visibility(surf, view, sgm_depth,
-                                           opts.use_sgm, main_img, sub_imgs)
+            with timer.stage(f"visibility@s{surf.scale}"):
+                surf, vis = compute_visibility(surf, view, sgm_depth,
+                                               opts.use_sgm, main_img,
+                                               sub_imgs)
             deleted = 1 << 30
             while deleted > 10:
-                surf, d = cut_boundaries(surf, view, vis, inv_cal)
+                with timer.stage(f"cut@s{surf.scale}"):
+                    surf, d = cut_boundaries(surf, view, vis, inv_cal)
                 vis = vis & surf.patch_valid[..., None]
                 deleted = int(d)
 
@@ -405,9 +411,10 @@ def run_newton_iterations(
         nsteps = 0
         while nsteps < opts.max_newton_steps and num_active > num_initial // 20:
             nsteps += 1
-            nodes, active, bad, avg, cg_iters, n_act = step(
-                nodes, surf.node_valid, surf.patch_valid, vis, active
-            )
+            with timer.stage(f"newton@s{surf.scale}"):
+                nodes, active, bad, avg, cg_iters, n_act = step(
+                    nodes, surf.node_valid, surf.patch_valid, vis, active
+                )
             if bool(bad):
                 break
             if opts.full_optimization:
@@ -498,6 +505,7 @@ def optimize_view(
             fill_src = init_depth.astype(dtype)
 
     lighting = None
+    timer = StageTimer()
 
     def run_scale(surf):
         nonlocal lighting
@@ -511,7 +519,7 @@ def optimize_view(
             nmap = S.normal_map(surf, 1.0 / main.flen())
             lighting = fit_lighting(nmap, shading_img.astype(surf.nodes.dtype))
         return run_newton_iterations(surf, main, subs, view, opts, lighting,
-                                     sgm_depth, log=log)
+                                     sgm_depth, log=log, timer=timer)
 
     surf = run_scale(surf)
     while surf.scale > opts.min_scale and surf.scale > 0:
@@ -520,6 +528,8 @@ def optimize_view(
             surf = S.fill_patches_from_depth(surf, fill_src)
         surf = run_scale(surf)
 
+    if log:
+        log(timer.report())
     depth = S.depth_map(surf)
     normals = S.normal_map(surf, 1.0 / main.flen())
     return DepthResult(depth=depth, normals=normals, surface=surf,

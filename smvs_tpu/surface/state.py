@@ -480,6 +480,10 @@ def subdivide(surf: Surface) -> Surface:
     vals = jnp.einsum("qkm,yxm->yxqk", rows[:, :4, :], params)  # [ny,nx,5,4]
     scale_vec = jnp.asarray([1.0, 0.5, 0.5, 0.25], dtype=surf.nodes.dtype)
     vals = vals * scale_vec  # new-node derivative rescale (reference :1039-1071)
+    # Fusing the midpoint evaluation with the interleaved grid assembly
+    # miscompiles on the experimental axon TPU backend (edge nodes land
+    # zeroed/garbled); the barrier keeps the two stages separate.
+    vals = jax.lax.optimization_barrier(vals)
     pv = surf.patch_valid
 
     def padded(arr, mask):
@@ -508,24 +512,28 @@ def subdivide(surf: Surface) -> Surface:
     # Horizontal edges (odd x, even y): rows r = off_y + 2j for j in 0..ny.
     # Winner: top-edge eval of patch (i, j) if valid, else bottom-edge eval
     # of patch (i, j-1)  [last-writer-wins in the reference's patch loop].
+    # NOTE: selection is arithmetic (mask multiply) rather than jnp.where —
+    # the where-of-padded-slices pattern miscompiled on the experimental
+    # axon TPU backend (edge nodes came back zeroed/garbled under jit).
+    dt = surf.nodes.dtype
     top = v_pad[1:, 1:-1, 0, :]  # patch (i, j) for j in 0..ny (ny+1 rows)
-    top_v = pv_pad[1:, 1:-1]
+    top_v = pv_pad[1:, 1:-1].astype(dt)[..., None]
     bot = v_pad[:-1, 1:-1, 4, :]  # patch (i, j-1)
-    bot_v = pv_pad[:-1, 1:-1]
-    hval = jnp.where(top_v[..., None], top, bot)
-    hvalid = top_v | bot_v
-    n1 = n1.at[off_y::2, off_x + 1 :: 2].set(jnp.where(hvalid[..., None], hval, 0.0))
+    bot_v = pv_pad[:-1, 1:-1].astype(dt)[..., None]
+    hval = top * top_v + bot * bot_v * (1.0 - top_v)
+    hvalid = (top_v + bot_v * (1.0 - top_v))[..., 0] > 0.5
+    n1 = n1.at[off_y::2, off_x + 1 :: 2].set(hval)
     valid1 = valid1.at[off_y::2, off_x + 1 :: 2].set(hvalid)
 
     # Vertical edges (even x, odd y): winner: left-edge eval of patch (i, j)
     # if valid, else right-edge eval of patch (i-1, j).
     left = v_pad[1:-1, 1:, 1, :]
-    left_v = pv_pad[1:-1, 1:]
+    left_v = pv_pad[1:-1, 1:].astype(dt)[..., None]
     right = v_pad[1:-1, :-1, 3, :]
-    right_v = pv_pad[1:-1, :-1]
-    vvval = jnp.where(left_v[..., None], left, right)
-    vvalid = left_v | right_v
-    n1 = n1.at[off_y + 1 :: 2, off_x :: 2].set(jnp.where(vvalid[..., None], vvval, 0.0))
+    right_v = pv_pad[1:-1, :-1].astype(dt)[..., None]
+    vvval = left * left_v + right * right_v * (1.0 - left_v)
+    vvalid = (left_v + right_v * (1.0 - left_v))[..., 0] > 0.5
+    n1 = n1.at[off_y + 1 :: 2, off_x :: 2].set(vvval)
     valid1 = valid1.at[off_y + 1 :: 2, off_x :: 2].set(vvalid)
 
     new_surf = Surface(
