@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output-scale", type=int, default=2)
     p.add_argument("-l", "--list-view", default="",
                    help="view IDs, e.g. \"0-10\" or \"1,3,5\"")
+    p.add_argument("-t", "--threads", type=int, default=0,
+                   help="accepted for smvsrecon compatibility; parallelism "
+                        "comes from the device mesh")
     p.add_argument("-d", "--debug-lvl", type=int, default=0)
     p.add_argument("-r", "--recon-only", action="store_true")
     p.add_argument("-M", "--max-pixels", type=int, default=1700000)

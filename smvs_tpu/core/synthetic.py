@@ -132,6 +132,58 @@ def make_two_view_scene(
     )
 
 
+def make_plane_scene(
+    n_views: int = 3,
+    dim: int = 200,
+    plane=(0.0, 0.05, 0.1, 5.0),  # n·P = d with n=(nx, ny, nz-ish)
+    baseline: float = 0.15,
+) -> SyntheticScene:
+    """N views of an analytically-textured world plane.
+
+    Every view's image and depth are rendered exactly (no resampling):
+    the plane ``n . P = d`` is intersected per pixel ray and shaded with a
+    smooth analytic texture, so multi-neighbor / pairwise photometric terms
+    can be validated without warp error.
+    """
+    nrm = np.array([plane[0], plane[1], 1.0])
+    nrm /= np.linalg.norm(nrm)
+    d_off = plane[3]
+
+    def texture(x, y):
+        return (
+            0.55
+            + 0.18 * np.sin(2.1 * x) * np.sin(1.7 * y)
+            + 0.12 * np.sin(5.3 * x + 1.0) * np.cos(4.1 * y)
+            + 0.08 * np.cos(9.7 * x - 2.0) * np.sin(8.3 * y + 0.7)
+        )
+
+    cameras = []
+    for i in range(n_views):
+        angle = 0.04 * (i - (n_views - 1) / 2)
+        ca, sa = np.cos(angle), np.sin(angle)
+        rot = np.array([[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]])
+        cam_pos = np.array([baseline * (i - (n_views - 1) / 2), 0.0, 0.0])
+        trans = -rot @ cam_pos
+        cameras.append(Camera(flen=1.0, rot=rot, trans=trans))
+
+    images, depths = [], []
+    xs, ys = np.meshgrid(np.arange(dim), np.arange(dim), indexing="xy")
+    for cam in cameras:
+        inv = cam.inverse_calibration(dim, dim)
+        dir_cam = np.stack(
+            [inv[0, 0] * (xs + 0.5) + inv[0, 2],
+             inv[1, 1] * (ys + 0.5) + inv[1, 2],
+             np.ones_like(xs, dtype=np.float64)], axis=-1)
+        dir_world = dir_cam @ cam.rot  # R^T d
+        C = cam.cam_position()
+        s = (d_off - nrm @ C) / (dir_world @ nrm)
+        P = C + s[..., None] * dir_world
+        depths.append(s.copy())  # z-depth: dir_cam z-component is 1
+        images.append(texture(P[..., 0], P[..., 1]).astype(np.float32))
+    return SyntheticScene(cameras=cameras, images=images, depths=depths,
+                          width=dim, height=dim)
+
+
 def save_as_mve_scene(scene: SyntheticScene, path: str,
                       n_features: int = 200) -> None:
     """Write the synthetic scene as an on-disk MVE scene (views + bundle).

@@ -310,6 +310,20 @@ def patch_mse(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray) -> jnp.ndarra
 # Newton iterations
 
 
+@jax.jit
+def patch_tex_score(surf: S.Surface, main_image: jnp.ndarray) -> jnp.ndarray:
+    """Mean absolute deviation of patch intensities (texture score),
+
+    reference `DepthOptimizer::tex_score_for_patch` (:914-955). Returns
+    [ny, nx]; 0 for patches darker than the 0.05 mean-intensity gate.
+    """
+    px, py = gn._patch_pixel_coords(surf, sampling=1)
+    vals = gn._gather_image_at(main_image[None], px, py)[..., 0]  # [ny,nx,P]
+    mean = vals.mean(axis=-1, keepdims=True)
+    score = jnp.abs(vals - mean).mean(axis=-1)
+    return jnp.where(mean[..., 0] >= 0.05, score, 0.0)
+
+
 def make_newton_step(surf: S.Surface, view: gn.ViewSet, opts: OptimizerOptions,
                      lighting):
     """Build a jitted single-Newton-step function for this scale's shapes."""
@@ -369,6 +383,54 @@ def make_newton_step(surf: S.Surface, view: gn.ViewSet, opts: OptimizerOptions,
     return step
 
 
+def make_newton_loop(surf: S.Surface, view: gn.ViewSet,
+                     opts: OptimizerOptions, lighting):
+    """On-device Newton inner loop (`lax.while_loop` over steps).
+
+    Runs the reference's inner loop (`lib/depth_optimizer.cc:219-304`) —
+    up to ``max_newton_steps`` while >5% of nodes are active (or, in
+    full-optimization mode, while the average reprojection delta exceeds
+    0.01) — in a single device program, eliminating per-step host syncs.
+    Returns a jitted fn(nodes, node_valid, patch_valid, vis, active)
+    -> (nodes', active', steps_taken).
+    """
+    step = make_newton_step(surf, view, opts, lighting)
+    max_steps = opts.max_newton_steps
+    full = opts.full_optimization
+
+    @jax.jit
+    def loop(nodes, node_valid, patch_valid, vis, active):
+        num_initial = jnp.sum(active & node_valid)
+
+        def cond(state):
+            nodes, active, steps, done = state
+            if full:
+                more = ~done
+            else:
+                more = jnp.sum(active) > num_initial // 20
+            return (steps < max_steps) & more & ~done
+
+        def body(state):
+            nodes, active, steps, _ = state
+            (new_nodes, new_active, bad, avg, _, n_act) = step(
+                nodes, node_valid, patch_valid, vis, active)
+            if full:
+                done = bad | (avg < 0.01)
+                new_active = active  # full mode keeps every node active
+                nodes_out = new_nodes
+            else:
+                done = bad
+                nodes_out = new_nodes
+            return (nodes_out, new_active, steps + 1, done)
+
+        init = (nodes, active, jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        nodes, active, steps, _ = jax.lax.while_loop(cond, body, init)
+        return nodes, active, steps
+
+    return loop
+
+
 def run_newton_iterations(
     surf: S.Surface,
     main: StereoViewState,
@@ -390,7 +452,7 @@ def run_newton_iterations(
     vis = None
     finished = False
     num_valid_patches = int(surf.num_valid_patches())
-    step = make_newton_step(surf, view, opts, lighting)
+    newton_loop = make_newton_loop(surf, view, opts, lighting)
     for it in range(opts.num_iterations):
         if it == 0:
             with timer.stage(f"visibility@s{surf.scale}"):
@@ -404,28 +466,14 @@ def run_newton_iterations(
                 vis = vis & surf.patch_valid[..., None]
                 deleted = int(d)
 
-        active = surf.node_valid
-        num_initial = max(int(jnp.sum(active)), 1)
-        num_active = num_initial
-        nodes = surf.nodes
-        nsteps = 0
-        while nsteps < opts.max_newton_steps and num_active > num_initial // 20:
-            nsteps += 1
-            with timer.stage(f"newton@s{surf.scale}"):
-                nodes, active, bad, avg, cg_iters, n_act = step(
-                    nodes, surf.node_valid, surf.patch_valid, vis, active
-                )
-            if bool(bad):
-                break
-            if opts.full_optimization:
-                if float(avg) < 0.01:
-                    break
-                num_active = num_initial  # keep iterating
-                continue
-            num_active = int(n_act)
+        with timer.stage(f"newton@s{surf.scale}"):
+            nodes, _, nsteps = newton_loop(
+                surf.nodes, surf.node_valid, surf.patch_valid, vis,
+                surf.node_valid)
+            nodes.block_until_ready()
         surf = dataclasses.replace(surf, nodes=nodes)
         if log:
-            log(f"  iter {it}: {nsteps} newton steps, "
+            log(f"  iter {it}: {int(nsteps)} newton steps, "
                 f"{int(surf.num_valid_patches())} patches")
 
         if finished:

@@ -1,0 +1,83 @@
+"""Pallas SGM aggregation kernel vs the lax.scan reference implementation.
+
+Runs in Pallas interpreter mode on CPU so the kernel logic is covered by the
+hermetic suite; on-device validation happens in bench/demo runs.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from smvs_tpu.sgm import pallas_agg, stereo
+
+
+def _random_volume(h, w, d, seed=0):
+    rng = np.random.default_rng(seed)
+    cost = rng.integers(0, 63, size=(h, w, d)).astype(np.int32)
+    inten = rng.integers(0, 255, size=(h, w)).astype(np.int32)
+    return jnp.asarray(cost), jnp.asarray(inten)
+
+
+def test_single_direction_matches_scan():
+    cost, inten = _random_volume(6, 9, 16)
+    for shift in (0, 1, -1):
+        want = stereo.aggregate.__wrapped__(cost, inten, 6, 96)  # noqa: F841
+    # compare one direction at a time via the internal scan helper
+    # (the public aggregate sums all 8; single-direction parity pins the
+    # recurrence itself)
+    p1, p2 = 6, 96
+
+    # reference single direction: reuse stereo's scan_lines via aggregate on
+    # a volume where only L->R matters is awkward; instead brute-force:
+    def brute(cost, inten, shift):
+        cost = np.asarray(cost)
+        inten = np.asarray(inten)
+        L, X, D = cost.shape
+        out = np.zeros_like(cost)
+        prev = None
+        prev_int = None
+        for x in range(X):
+            c = cost[:, x, :]
+            it = inten[:, x]
+            if x == 0:
+                new = c.copy()
+            else:
+                p = prev.copy()
+                pi = prev_int.copy()
+                border = None
+                if shift:
+                    p = np.roll(p, shift, axis=0)
+                    pi = np.roll(pi, shift, axis=0)
+                    border = 0 if shift > 0 else L - 1
+                    p[border] = pallas_agg.BIG
+                new = np.zeros_like(c)
+                for l in range(L):
+                    diff = abs(int(it[l]) - int(pi[l])) + 1
+                    p2a = max(p1 * 3 // 2, p2 // diff)
+                    minp = p[l].min()
+                    for k in range(D):
+                        upd = p[l, k]
+                        if k + 1 < D:
+                            upd = min(upd, p[l, k + 1] + p1)
+                        if k > 0:
+                            upd = min(upd, p[l, k - 1] + p1)
+                        upd = min(upd, minp + p2a)
+                        new[l, k] = c[l, k] + upd - minp
+                if border is not None:
+                    new[border] = c[border]
+            out[:, x, :] = new
+            prev = new
+            prev_int = it
+        return out
+
+    for shift in (0, 1, -1):
+        got = np.asarray(pallas_agg.scan_direction(cost, inten, shift, p1, p2,
+                                                   interpret=True))
+        want = brute(cost, inten, shift)
+        np.testing.assert_array_equal(got, want), shift
+
+
+def test_full_aggregate_matches_scan_version():
+    cost, inten = _random_volume(10, 12, 24, seed=1)
+    want = np.asarray(stereo.aggregate(cost, inten, 6, 96))
+    got = np.asarray(pallas_agg.aggregate(cost, inten, 6, 96, interpret=True))
+    np.testing.assert_array_equal(got, want)
