@@ -249,9 +249,13 @@ def main(argv=None) -> int:
             debug_lvl=conf.debug_lvl,
         )
         log = print if conf.debug_lvl > 0 else None
+        debug_sink = None
+        if conf.debug_lvl > 1:
+            def debug_sink(name, img, _v=by_id[i]):
+                _v.set_image(name, np.asarray(img, np.float32))
         result = O.optimize_view(main_view, subs, opts,
                                  init_depth=init_depth, sgm_depth=sgm_depth,
-                                 log=log)
+                                 log=log, debug_sink=debug_sink)
         depth = np.asarray(result.depth, np.float64)
         by_id[i].set_image(output_name, np.asarray(
             depth_z_to_mve(depth, inv_cal), np.float32))

@@ -66,6 +66,23 @@ def warp_jacobian(M: jnp.ndarray, t: jnp.ndarray, u, v, w, w_dx, w_dy):
     )
 
 
+def warp_depth_gradient(M: jnp.ndarray, t: jnp.ndarray, u, v, w):
+    """d(neighbor pixel)/d(depth): (du/dw, dv/dw).
+
+    Closed form (reference `Correspondence::get_derivative`,
+    `lib/correspondence.cc:53-72`): du_w = (p d - r a)/d^2,
+    dv_w = (q d - r b)/d^2. Returns (..., 2).
+    """
+    p = M[..., 0, 0] * u + M[..., 0, 1] * v + M[..., 0, 2]
+    q = M[..., 1, 0] * u + M[..., 1, 1] * v + M[..., 1, 2]
+    r = M[..., 2, 0] * u + M[..., 2, 1] * v + M[..., 2, 2]
+    a = w * p + t[..., 0]
+    b = w * q + t[..., 1]
+    d = w * r + t[..., 2]
+    d2 = d * d
+    return jnp.stack([(p * d - r * a) / d2, (q * d - r * b) / d2], axis=-1)
+
+
 def jacobian_condition(jac: jnp.ndarray) -> jnp.ndarray:
     """sigma_max^2 / sigma_min^2 of a 2x2 warp Jacobian.
 

@@ -41,6 +41,7 @@ class OptimizerOptions:
     use_sgm: bool = False
     full_optimization: bool = False
     debug_lvl: int = 0
+    output_name: str = "smvs" 
     # TPU-specific knobs
     max_newton_steps: int = 200
     chunk: int = 256
@@ -96,17 +97,31 @@ def _patch_pixel_grids(surf: S.Surface):
 
 
 def _patch_depths_and_derivs(surf: S.Surface):
-    """(w, wdx, wdy) per full-res patch pixel, each [ny, nx, P]."""
+    """(w, wdx, wdy) per full-res patch pixel, each [ny, nx, P].
+
+    Implemented as a plain 2D matmul: 4D-output einsums of the basis
+    contraction miscompile on the experimental TPU backend when fused with
+    downstream consumers (same bug class as in `Surface.subdivide`).
+    """
+    ny, nx = surf.num_patches_y, surf.num_patches_x
     basis = bicubic.pixel_basis(surf.patchsize, 1, dtype=surf.nodes.dtype)
-    params = S.patch_params(surf)
-    vals = jnp.einsum("pkm,yxm->yxpk", basis[:, :3, :], params)
+    b2 = basis[:, :3, :].reshape(-1, 16)  # [P*3, 16]
+    params = S.patch_params(surf).reshape(ny * nx, 16)
+    vals = (params @ b2.T).reshape(ny, nx, -1, 3)  # [ny, nx, P, 3]
     return vals[..., 0], vals[..., 1], vals[..., 2]
 
 
 def _all_projections(surf: S.Surface, view: gn.ViewSet):
-    """proj [N, ny, nx, P, 2] and depth [N, ny, nx, P] for all patch pixels."""
+    """proj [N, ny, nx, P, 2] and depth [N, ny, nx, P] for all patch pixels.
+
+    Invalid patches get a fixed dummy depth so their (masked-out)
+    projections are stable — garbage projections from near-zero depths
+    amplified downstream numerical noise and, on the experimental TPU
+    backend, leaked through fused mask selects.
+    """
     u, v = _patch_pixel_grids(surf)
     w, _, _ = _patch_depths_and_derivs(surf)
+    w = jnp.where(surf.patch_valid[..., None], w, 1.0)
 
     def per_n(M, t):
         return corr.warp(M, t, u, v, w)
@@ -224,6 +239,27 @@ def compute_visibility(
 
 # ---------------------------------------------------------------------------
 # boundary cutting
+
+
+@jax.jit
+def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
+                        inv_flen_cal: jnp.ndarray):
+    """Repeat boundary cutting while it deletes > 10 patches
+    (reference `lib/depth_optimizer.cc:192-194, 326-328`), fully on device."""
+
+    def cond(state):
+        _, _, deleted = state
+        return deleted > 10
+
+    def body(state):
+        surf_, vis_, _ = state
+        surf_, d = cut_boundaries(surf_, view, vis_, inv_flen_cal)
+        vis_ = vis_ & surf_.patch_valid[..., None]
+        return (surf_, vis_, d)
+
+    surf, vis, _ = jax.lax.while_loop(
+        cond, body, (surf, vis, jnp.asarray(1 << 30)))
+    return surf, vis
 
 
 @jax.jit
@@ -354,20 +390,38 @@ def make_newton_step(surf: S.Surface, view: gn.ViewSet, opts: OptimizerOptions,
         bad = ~jnp.isfinite(delta).all()
         delta = jnp.where(bad, 0.0, delta)
 
-        proj1, _ = _all_projections(s, view)
+        # Reprojection delta of the step, first order: |dproj/dw| * |dw|.
+        # (The reference differences two full projection passes,
+        # `lib/depth_optimizer.cc:271-303`; the closed form is cheaper and
+        # avoids subtractive cancellation between two huge tensors.)
         s2 = S.update_nodes(s, delta)
-        proj2, _ = _all_projections(s2, view)
-        diff = jnp.linalg.norm(proj1 - proj2, axis=-1)  # [N, ny, nx, P]
-        diff = jnp.moveaxis(diff, 0, -1)  # [ny, nx, P, N]
+        ny, nx = s.num_patches_y, s.num_patches_x
+        u, v = _patch_pixel_grids(s)
+        w, _, _ = _patch_depths_and_derivs(s)
+        w = jnp.where(s.patch_valid[..., None], w, 1.0)
+        basis_f = bicubic.pixel_basis(s.patchsize, 1,
+                                      dtype=s.nodes.dtype)[:, 0, :]
+        dparams = (S.patch_params(s2) - S.patch_params(s)).reshape(
+            ny * nx, 16)
+        dw = jnp.abs(dparams @ basis_f.T).reshape(ny, nx, -1)  # [ny, nx, P]
+
+        def per_n(M, t):
+            g = corr.warp_depth_gradient(M, t, u, v, w)
+            return jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
+
+        dproj_dw = jax.vmap(per_n)(view.M, view.t)  # [N, ny, nx, P]
+        diff = jnp.moveaxis(dproj_dw, 0, -1) * dw[..., None]  # [ny,nx,P,N]
 
         corner_active = (act[:-1, :-1] | act[:-1, 1:]
                          | act[1:, :-1] | act[1:, 1:])
-        mask = (vis[:, :, None, :] & corner_active[:, :, None, None]
-                & patch_valid[:, :, None, None])
+        mask = jnp.broadcast_to(
+            vis[:, :, None, :] & corner_active[:, :, None, None]
+            & patch_valid[:, :, None, None], diff.shape)
+        diff = jnp.where(mask, diff, 0.0)
         maskf = mask.astype(diff.dtype)
         avg = jnp.sum(diff * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
 
-        moved = ((diff > 0.15) & mask).any((-1, -2))  # [ny, nx]
+        moved = (diff > 0.15).any((-1, -2))  # [ny, nx]
         ny1, nx1 = node_valid.shape
         new_active = jnp.zeros((ny1, nx1), bool)
         mp = moved
@@ -377,7 +431,11 @@ def make_newton_step(surf: S.Surface, view: gn.ViewSet, opts: OptimizerOptions,
         new_active = new_active.at[1:, 1:].max(mp)
         new_active = new_active & node_valid
 
-        return (s2.nodes, new_active, bad, avg, res.iterations,
+        # Relative depth step: a platform-robust convergence measure.
+        f_safe = jnp.maximum(jnp.abs(s.nodes[..., 0]), 1e-6)
+        rel_step = jnp.max(
+            jnp.where(s.node_valid, jnp.abs(delta[..., 0]) / f_safe, 0.0))
+        return (s2.nodes, new_active, bad, avg, rel_step,
                 jnp.sum(new_active))
 
     return step
@@ -412,16 +470,16 @@ def make_newton_loop(surf: S.Surface, view: gn.ViewSet,
 
         def body(state):
             nodes, active, steps, _ = state
-            (new_nodes, new_active, bad, avg, _, n_act) = step(
+            (new_nodes, new_active, bad, avg, rel_step, n_act) = step(
                 nodes, node_valid, patch_valid, vis, active)
+            converged = rel_step < 1e-4  # depth changed by < 0.01%
             if full:
-                done = bad | (avg < 0.01)
+                done = bad | (avg < 0.01) | converged
                 new_active = active  # full mode keeps every node active
-                nodes_out = new_nodes
             else:
-                done = bad
-                nodes_out = new_nodes
-            return (nodes_out, new_active, steps + 1, done)
+                # Active-set criterion plus hard convergence floors.
+                done = bad | (avg < 0.002) | converged
+            return (new_nodes, new_active, steps + 1, done)
 
         init = (nodes, active, jnp.asarray(0, jnp.int32),
                 jnp.asarray(False))
@@ -429,6 +487,82 @@ def make_newton_loop(surf: S.Surface, view: gn.ViewSet,
         return nodes, active, steps
 
     return loop
+
+
+def make_scale_program(surf: S.Surface, view: gn.ViewSet,
+                       opts: OptimizerOptions, lighting,
+                       inv_cal: jnp.ndarray):
+    """One fully on-device program for a scale's outer iteration loop.
+
+    Mirrors `DepthOptimizer::run_newton_iterations` (reference :164-358):
+    per outer iteration run the Newton inner loop, then boundary cutting /
+    expansion / isolated-patch cleanup, tracking patch-count convergence.
+    Runs as a single dispatch to hide the per-call device latency.
+    """
+    newton = make_newton_loop(surf, view, opts, lighting)
+    template = surf
+    num_iters = opts.num_iterations
+    use_sgm = opts.use_sgm
+
+    @jax.jit
+    def run(nodes, node_valid, patch_valid, vis, sgm_depth, main_img,
+            sub_imgs):
+        def mk(nodes, node_valid, patch_valid):
+            return dataclasses.replace(template, nodes=nodes,
+                                       node_valid=node_valid,
+                                       patch_valid=patch_valid)
+
+        stats0 = jnp.zeros((num_iters, 2), jnp.int32)
+
+        def body(state):
+            (nodes, node_valid, patch_valid, vis, it, brk, prev_count,
+             finished, stats) = state
+            nodes, _, steps = newton(nodes, node_valid, patch_valid, vis,
+                                     node_valid)
+            break_next = finished
+
+            def cleanup(args):
+                nodes, node_valid, patch_valid, vis = args
+                surf_ = mk(nodes, node_valid, patch_valid)
+                surf_, vis = cut_boundaries_loop(surf_, view, vis, inv_cal)
+                if not use_sgm:
+                    surf_ = S.expand(surf_)
+                    surf_, vis = compute_visibility(
+                        surf_, view, sgm_depth, use_sgm, main_img, sub_imgs)
+                    surf_, vis = cut_boundaries_loop(surf_, view, vis,
+                                                     inv_cal)
+                surf_ = S.remove_isolated_patches(surf_)
+                vis = vis & surf_.patch_valid[..., None]
+                return (surf_.nodes, surf_.node_valid, surf_.patch_valid,
+                        vis)
+
+            nodes, node_valid, patch_valid, vis = jax.lax.cond(
+                finished, lambda a: a, cleanup,
+                (nodes, node_valid, patch_valid, vis))
+
+            new_count = jnp.sum(patch_valid)
+            lo = jnp.minimum(new_count, prev_count)
+            hi = jnp.maximum(jnp.maximum(new_count, prev_count), 1)
+            change = 1.0 - lo.astype(jnp.float32) / hi.astype(jnp.float32)
+            conv = (it > 0) & ((new_count <= prev_count)
+                               | (change < 0.05 * template.scale))
+            finished = finished | conv
+            stats = stats.at[it, 0].set(steps)
+            stats = stats.at[it, 1].set(new_count)
+            return (nodes, node_valid, patch_valid, vis, it + 1, break_next,
+                    new_count, finished, stats)
+
+        def cond(state):
+            it, brk = state[4], state[5]
+            return (it < num_iters) & ~brk
+
+        init = (nodes, node_valid, patch_valid, vis,
+                jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.sum(patch_valid), jnp.asarray(False), stats0)
+        out = jax.lax.while_loop(cond, body, init)
+        return out[0], out[1], out[2], out[8]
+
+    return run
 
 
 def run_newton_iterations(
@@ -442,68 +576,40 @@ def run_newton_iterations(
     log=None,
     timer: StageTimer | None = None,
 ) -> S.Surface:
-    """Reference `DepthOptimizer::run_newton_iterations` (:164-358)."""
-    inv_cal = main.camera.inverse_calibration(main.width, main.height)
+    """Reference `DepthOptimizer::run_newton_iterations` (:164-358).
+
+    Initial visibility + boundary cutting run as one dispatch, then the
+    whole outer iteration loop runs as a second on-device program.
+    """
+    inv_cal = jnp.asarray(
+        main.camera.inverse_calibration(main.width, main.height))
     main_img = main.at_scale(surf.scale).image
     sub_imgs = jnp.stack([s.at_scale(surf.scale).image for s in subs])
-
-    inv_cal = jnp.asarray(inv_cal)
     timer = timer or StageTimer()
-    vis = None
-    finished = False
-    num_valid_patches = int(surf.num_valid_patches())
-    newton_loop = make_newton_loop(surf, view, opts, lighting)
-    for it in range(opts.num_iterations):
-        if it == 0:
-            with timer.stage(f"visibility@s{surf.scale}"):
-                surf, vis = compute_visibility(surf, view, sgm_depth,
-                                               opts.use_sgm, main_img,
-                                               sub_imgs)
-            deleted = 1 << 30
-            while deleted > 10:
-                with timer.stage(f"cut@s{surf.scale}"):
-                    surf, d = cut_boundaries(surf, view, vis, inv_cal)
-                vis = vis & surf.patch_valid[..., None]
-                deleted = int(d)
 
-        with timer.stage(f"newton@s{surf.scale}"):
-            nodes, _, nsteps = newton_loop(
-                surf.nodes, surf.node_valid, surf.patch_valid, vis,
-                surf.node_valid)
-            nodes.block_until_ready()
-        surf = dataclasses.replace(surf, nodes=nodes)
-        if log:
-            log(f"  iter {it}: {int(nsteps)} newton steps, "
-                f"{int(surf.num_valid_patches())} patches")
+    with timer.stage(f"visibility@s{surf.scale}"):
+        surf, vis = compute_visibility(surf, view, sgm_depth, opts.use_sgm,
+                                       main_img, sub_imgs)
+        surf, vis = cut_boundaries_loop(surf, view, vis, inv_cal)
+        vis.block_until_ready()
 
-        if finished:
-            break
-
-        deleted = 1 << 30
-        while deleted > 10:
-            surf, d = cut_boundaries(surf, view, vis, inv_cal)
-            vis = vis & surf.patch_valid[..., None]
-            deleted = int(d)
-        if not opts.use_sgm:
-            surf = S.expand(surf)
-            surf, vis = compute_visibility(surf, view, sgm_depth,
-                                           opts.use_sgm, main_img, sub_imgs)
-            deleted = 1 << 30
-            while deleted > 10:
-                surf, d = cut_boundaries(surf, view, vis, inv_cal)
-                vis = vis & surf.patch_valid[..., None]
-                deleted = int(d)
-        surf = S.remove_isolated_patches(surf)
-        vis = vis & surf.patch_valid[..., None]
-
-        num_valid_new = int(surf.num_valid_patches())
-        lo = min(num_valid_new, num_valid_patches)
-        hi = max(num_valid_new, num_valid_patches, 1)
-        change = 1.0 - lo / hi
-        if it > 0 and (num_valid_new <= num_valid_patches
-                       or change < 0.05 * surf.scale):
-            finished = True
-        num_valid_patches = num_valid_new
+    program = make_scale_program(surf, view, opts, lighting, inv_cal)
+    sgm_arg = (sgm_depth if sgm_depth is not None
+               else jnp.zeros((surf.height, surf.width), surf.nodes.dtype))
+    with timer.stage(f"iterations@s{surf.scale}"):
+        nodes, node_valid, patch_valid, stats = program(
+            surf.nodes, surf.node_valid, surf.patch_valid, vis, sgm_arg,
+            main_img, sub_imgs)
+        nodes.block_until_ready()
+    surf = dataclasses.replace(surf, nodes=nodes, node_valid=node_valid,
+                               patch_valid=patch_valid)
+    if log:
+        st = np.asarray(stats)
+        for it in range(opts.num_iterations):
+            if it > 0 and st[it].sum() == 0:
+                break
+            log(f"  iter {it}: {st[it, 0]} newton steps, "
+                f"{st[it, 1]} patches")
     return surf
 
 
@@ -527,6 +633,7 @@ def optimize_view(
     sgm_depth: Optional[jnp.ndarray] = None,
     init_surface: Optional[S.Surface] = None,
     log=None,
+    debug_sink=None,
 ) -> DepthResult:
     """Full coarse-to-fine optimization of one view
 
@@ -547,6 +654,8 @@ def optimize_view(
             surf = S.create_from_depth(filt, scale0)
             fill_src = filt
             sgm_depth = filt
+            if debug_sink is not None and opts.debug_lvl > 1:
+                debug_sink("smvs-sgm-filtered", filt)
         else:
             assert init_depth is not None
             surf = S.create_from_depth(init_depth.astype(dtype), scale0 + 1)
@@ -569,6 +678,8 @@ def optimize_view(
         return run_newton_iterations(surf, main, subs, view, opts, lighting,
                                      sgm_depth, log=log, timer=timer)
 
+    if debug_sink is not None and opts.debug_lvl > 1:
+        debug_sink("smvs-initial", S.depth_map(surf))
     surf = run_scale(surf)
     while surf.scale > opts.min_scale and surf.scale > 0:
         surf = S.subdivide(surf)
@@ -580,5 +691,31 @@ def optimize_view(
         log(timer.report())
     depth = S.depth_map(surf)
     normals = S.normal_map(surf, 1.0 / main.flen())
+    if debug_sink is not None and opts.debug_lvl > 1 and lighting is not None:
+        from smvs_tpu.shading import lighting as L
+
+        shaded = L.render_normal_map(lighting, normals)
+        debug_sink("smvs-shaded", shaded)
+        debug_sink("smvs-shaded-sphere", render_lighting_sphere(lighting))
+        shading_img, _ = main.shading_images()
+        albedo = jnp.where(shaded > 0,
+                           shading_img.astype(shaded.dtype)
+                           / jnp.maximum(shaded, 1e-6), 0.0)
+        debug_sink("smvs-implicit-albedo", albedo)
     return DepthResult(depth=depth, normals=normals, surface=surf,
                        lighting=lighting)
+
+
+def render_lighting_sphere(params: jnp.ndarray, size: int = 555) -> jnp.ndarray:
+    """Debug sphere render (reference `GlobalLighting::get_rendered_sphere`,
+    `lib/global_lighting.cc:48-75`)."""
+    from smvs_tpu.shading import lighting as L
+
+    ys, xs = jnp.mgrid[0:size, 0:size]
+    u = (xs + 0.5) / size * 2.0 - 1.0
+    v = (ys + 0.5) / size * 2.0 - 1.0
+    r2 = u * u + v * v
+    nz = jnp.sqrt(jnp.maximum(1.0 - r2, 0.0))
+    n = jnp.stack([u, v, -nz], axis=-1)
+    val = L.value_for_normal(params, n)
+    return jnp.where(r2 <= 1.0, val, 0.0)

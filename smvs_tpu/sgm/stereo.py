@@ -210,12 +210,28 @@ def winner_take_all(sgm_volume: jnp.ndarray, intensity: jnp.ndarray,
     return jnp.where(ok, depth, 0.0)
 
 
+def _use_pallas_default() -> bool:
+    """Use the Pallas aggregation kernel on real TPU devices."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def run_sgm(main_img, neighbor_img, M, t, min_depth, max_depth,
-            opts: SGMOptions) -> jnp.ndarray:
+            opts: SGMOptions, use_pallas: bool | None = None) -> jnp.ndarray:
     """Single-direction SGM depth map (reference `run_sgm`, :98-124)."""
     depths = jnp.asarray(depth_planes(min_depth, max_depth, opts.num_steps))
     cost = cost_volume(main_img, neighbor_img, M, t, depths)
-    agg = aggregate(cost, main_img, opts.penalty1, opts.penalty2)
+    if use_pallas is None:
+        use_pallas = _use_pallas_default()
+    if use_pallas:
+        from smvs_tpu.sgm import pallas_agg
+
+        agg = pallas_agg.aggregate(cost, main_img.astype(jnp.int32),
+                                   opts.penalty1, opts.penalty2)
+    else:
+        agg = aggregate(cost, main_img, opts.penalty1, opts.penalty2)
     return winner_take_all(agg, main_img, depths)
 
 

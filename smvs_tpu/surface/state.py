@@ -497,17 +497,26 @@ def subdivide(surf: Surface) -> Surface:
     n1 = jnp.zeros((new_ny + 1, new_nx + 1, 4), dtype=surf.nodes.dtype)
     valid1 = jnp.zeros((new_ny + 1, new_nx + 1), dtype=bool)
 
-    # Even-even: old nodes rescaled.
+    def sl(start, count):
+        # strided positions start + 2k for k < count (explicit stop: when
+        # off=1 the grid has a border ring and open slices overrun)
+        return slice(start, start + 2 * count - 1, 2)
+
+    # Old nodes rescaled, at positions (off + 2i).
     old_scaled = surf.nodes * scale_vec
-    n1 = n1.at[off_y::2, off_x::2].set(
+    r_old = sl(off_y, ny + 1)
+    c_old = sl(off_x, nx + 1)
+    n1 = n1.at[r_old, c_old].set(
         jnp.where(surf.node_valid[..., None], old_scaled, 0.0)
     )
-    valid1 = valid1.at[off_y::2, off_x::2].set(surf.node_valid)
+    valid1 = valid1.at[r_old, c_old].set(surf.node_valid)
 
-    # Odd-odd: patch centers, only from the owning patch.
+    # Patch centers at (off + 2i + 1), only from the owning patch.
     center = jnp.where(pv[..., None], vals[:, :, 2, :], 0.0)
-    n1 = n1.at[off_y + 1 :: 2, off_x + 1 :: 2].set(center)
-    valid1 = valid1.at[off_y + 1 :: 2, off_x + 1 :: 2].set(pv)
+    r_ctr = sl(off_y + 1, ny)
+    c_ctr = sl(off_x + 1, nx)
+    n1 = n1.at[r_ctr, c_ctr].set(center)
+    valid1 = valid1.at[r_ctr, c_ctr].set(pv)
 
     # Horizontal edges (odd x, even y): rows r = off_y + 2j for j in 0..ny.
     # Winner: top-edge eval of patch (i, j) if valid, else bottom-edge eval
@@ -522,8 +531,10 @@ def subdivide(surf: Surface) -> Surface:
     bot_v = pv_pad[:-1, 1:-1].astype(dt)[..., None]
     hval = top * top_v + bot * bot_v * (1.0 - top_v)
     hvalid = (top_v + bot_v * (1.0 - top_v))[..., 0] > 0.5
-    n1 = n1.at[off_y::2, off_x + 1 :: 2].set(hval)
-    valid1 = valid1.at[off_y::2, off_x + 1 :: 2].set(hvalid)
+    r_h = sl(off_y, ny + 1)
+    c_h = sl(off_x + 1, nx)
+    n1 = n1.at[r_h, c_h].set(hval)
+    valid1 = valid1.at[r_h, c_h].set(hvalid)
 
     # Vertical edges (even x, odd y): winner: left-edge eval of patch (i, j)
     # if valid, else right-edge eval of patch (i-1, j).
@@ -533,8 +544,10 @@ def subdivide(surf: Surface) -> Surface:
     right_v = pv_pad[1:-1, :-1].astype(dt)[..., None]
     vvval = left * left_v + right * right_v * (1.0 - left_v)
     vvalid = (left_v + right_v * (1.0 - left_v))[..., 0] > 0.5
-    n1 = n1.at[off_y + 1 :: 2, off_x :: 2].set(vvval)
-    valid1 = valid1.at[off_y + 1 :: 2, off_x :: 2].set(vvalid)
+    r_v = sl(off_y + 1, ny)
+    c_v = sl(off_x, nx + 1)
+    n1 = n1.at[r_v, c_v].set(vvval)
+    valid1 = valid1.at[r_v, c_v].set(vvalid)
 
     new_surf = Surface(
         nodes=n1,

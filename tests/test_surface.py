@@ -55,6 +55,27 @@ def test_subdivide_preserves_surface():
     np.testing.assert_allclose(dm1[both], dm0[both], rtol=1e-6)
 
 
+def test_subdivide_with_border_ring_offset():
+    # Bundle-style grids leave >= 2 new-patch slack after halving, so the
+    # subdivided grid gains a border ring (off_x/off_y = 1 path,
+    # reference lib/surface.cc:993-1014). Check shapes and continuity.
+    h = w = 360
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    depth = 4.0 + 0.004 * xs + 0.003 * ys
+    surf = S.create_from_depth(jnp.asarray(depth), scale=4)
+    sub = S.subdivide(surf)
+    assert sub.scale == 3
+    # offset path taken: new grid is 2*old + 2
+    assert sub.num_patches_x == 2 * surf.num_patches_x + 2
+    dm0 = np.asarray(S.depth_map(surf))
+    dm1 = np.asarray(S.depth_map(sub))
+    both = (dm0 > 0) & (dm1 > 0)
+    assert both.sum() > 0
+    np.testing.assert_allclose(dm1[both], dm0[both], rtol=1e-5)
+    # border ring nodes are invalid (no source patch)
+    assert not bool(sub.node_valid[0, :].any())
+
+
 def test_fill_holes_and_remove_nodes():
     surf = S.create_planar(3.0, 100, 100, 4, dtype=jnp.float64)
     pv = np.asarray(surf.patch_valid).copy()
