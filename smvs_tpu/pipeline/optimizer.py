@@ -90,21 +90,31 @@ def _build_viewset(
 
 def _patch_pixel_grids(surf: S.Surface):
     """Full-resolution pixel centers per patch: (u, v) each [ny, nx, P]."""
-    px, py = gn._patch_pixel_coords(surf, sampling=1)
+    return _patch_pixel_grids_sub(surf, 1)
+
+
+def _patch_pixel_grids_sub(surf: S.Surface, sampling: int):
+    px, py = gn._patch_pixel_coords(surf, sampling=sampling)
     u = jnp.asarray(px + 0.5, surf.nodes.dtype)
     v = jnp.asarray(py + 0.5, surf.nodes.dtype)
     return u, v
 
 
 def _patch_depths_and_derivs(surf: S.Surface):
-    """(w, wdx, wdy) per full-res patch pixel, each [ny, nx, P].
+    """(w, wdx, wdy) per full-res patch pixel, each [ny, nx, P]."""
+    return _patch_depths_and_derivs_sub(surf, 1)
+
+
+def _patch_depths_and_derivs_sub(surf: S.Surface, sampling: int):
+    """As above with pixel subsampling.
 
     Implemented as a plain 2D matmul: 4D-output einsums of the basis
     contraction miscompile on the experimental TPU backend when fused with
     downstream consumers (same bug class as in `Surface.subdivide`).
     """
     ny, nx = surf.num_patches_y, surf.num_patches_x
-    basis = bicubic.pixel_basis(surf.patchsize, 1, dtype=surf.nodes.dtype)
+    basis = bicubic.pixel_basis(surf.patchsize, sampling,
+                                dtype=surf.nodes.dtype)
     b2 = basis[:, :3, :].reshape(-1, 16)  # [P*3, 16]
     params = S.patch_params(surf).reshape(ny * nx, 16)
     vals = (params @ b2.T).reshape(ny, nx, -1, 3)  # [ny, nx, P, 3]
@@ -245,7 +255,12 @@ def compute_visibility(
 def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
                         inv_flen_cal: jnp.ndarray):
     """Repeat boundary cutting while it deletes > 10 patches
-    (reference `lib/depth_optimizer.cc:192-194, 326-328`), fully on device."""
+    (reference `lib/depth_optimizer.cc:192-194, 326-328`), fully on device.
+
+    The photometric error per patch depends only on the patch's own
+    content, so it is computed once and reused across sweeps (the sweeps
+    only change the border structure)."""
+    mse = patch_mse(surf, view, vis)
 
     def cond(state):
         _, _, deleted = state
@@ -253,7 +268,7 @@ def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
 
     def body(state):
         surf_, vis_, _ = state
-        surf_, d = cut_boundaries(surf_, view, vis_, inv_flen_cal)
+        surf_, d = cut_boundaries(surf_, view, vis_, inv_flen_cal, mse)
         vis_ = vis_ & surf_.patch_valid[..., None]
         return (surf_, vis_, d)
 
@@ -264,11 +279,14 @@ def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
 
 @jax.jit
 def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
-                   inv_flen_cal: np.ndarray) -> tuple[S.Surface, jnp.ndarray]:
+                   inv_flen_cal: np.ndarray,
+                   mse: Optional[jnp.ndarray] = None
+                   ) -> tuple[S.Surface, jnp.ndarray]:
     """One sweep of boundary cutting (reference `lib/depth_optimizer.cc:360-431`).
 
     Returns (surface, number_deleted). inv_flen_cal is the 3x3 inverse
-    calibration of the main view.
+    calibration of the main view; `mse` may be precomputed (see
+    cut_boundaries_loop).
     """
     ny, nx, _ = vis.shape
     ps = surf.patchsize
@@ -296,7 +314,8 @@ def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
     cut_depth = (dmax - dmin) > threshold
 
     # -- border-patch photometric error test --------------------------------
-    mse = patch_mse(surf, view, vis)
+    if mse is None:
+        mse = patch_mse(surf, view, vis)
     nvp = jnp.pad(surf.node_valid, ((1, 1), (1, 1)))
     ny1, nx1 = surf.node_valid.shape
     invalid_count = jnp.zeros((ny1, nx1), jnp.int32)
