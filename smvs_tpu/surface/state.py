@@ -480,74 +480,61 @@ def subdivide(surf: Surface) -> Surface:
     vals = jnp.einsum("qkm,yxm->yxqk", rows[:, :4, :], params)  # [ny,nx,5,4]
     scale_vec = jnp.asarray([1.0, 0.5, 0.5, 0.25], dtype=surf.nodes.dtype)
     vals = vals * scale_vec  # new-node derivative rescale (reference :1039-1071)
-    # Fusing the midpoint evaluation with the interleaved grid assembly
-    # miscompiles on the experimental axon TPU backend (edge nodes land
-    # zeroed/garbled); the barrier keeps the two stages separate.
-    vals = jax.lax.optimization_barrier(vals)
     pv = surf.patch_valid
 
-    def padded(arr, mask):
-        """Pad patch-indexed arrays by one ring of invalid patches."""
-        a = jnp.pad(arr, ((1, 1), (1, 1)) + ((0, 0),) * (arr.ndim - 2))
-        m = jnp.pad(mask, ((1, 1), (1, 1)))
-        return a, m
+    # New-node values per parity class. The interleaved grid is assembled
+    # with stack+reshape only: sequences of strided scatters (`.at[::2]`)
+    # miscompile under jit on this XLA build (disjoint-scatter fusion bug,
+    # observed on both the CPU and axon TPU backends), so no scatters are
+    # used here.
+    # Old nodes at (even, even): rescaled derivatives.
+    old_scaled = jnp.where(surf.node_valid[..., None],
+                           surf.nodes * scale_vec, 0.0)  # [ny+1, nx+1, 4]
+    # Patch centers at (odd, odd).
+    center = jnp.where(pv[..., None], vals[:, :, 2, :], 0.0)  # [ny, nx, 4]
+    # Horizontal-edge midpoints at (even row, odd col): top-edge eval (q=0)
+    # of the patch below, else bottom-edge eval (q=4) of the patch above
+    # (last-writer-wins order of the reference patch loop, :1073-1100).
+    vr = jnp.pad(vals, ((1, 1), (0, 0), (0, 0), (0, 0)))
+    pr = jnp.pad(pv, ((1, 1), (0, 0)))
+    top, top_ok = vr[1:, :, 0, :], pr[1:, :]      # [ny+1, nx, 4]
+    bot, bot_ok = vr[:-1, :, 4, :], pr[:-1, :]
+    hval = jnp.where(top_ok[..., None], top,
+                     jnp.where(bot_ok[..., None], bot, 0.0))
+    hvalid = top_ok | bot_ok  # [ny+1, nx]
+    # Vertical-edge midpoints at (odd row, even col): left-edge eval (q=1)
+    # of the patch to the right, else right-edge eval (q=3) of the left one.
+    vc = jnp.pad(vals, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    pc = jnp.pad(pv, ((0, 0), (1, 1)))
+    left, left_ok = vc[:, 1:, 1, :], pc[:, 1:]    # [ny, nx+1, 4]
+    right, right_ok = vc[:, :-1, 3, :], pc[:, :-1]
+    vvval = jnp.where(left_ok[..., None], left,
+                      jnp.where(right_ok[..., None], right, 0.0))
+    vvalid = left_ok | right_ok  # [ny, nx+1]
 
-    v_pad, pv_pad = padded(vals, pv)  # [ny+2, nx+2, 5, 4]
+    def interleave_cols(a, b):
+        """a [R, C+1, ...], b [R, C, ...] -> [R, 2C+1, ...] alternating."""
+        bp = jnp.pad(b, ((0, 0), (0, 1)) + ((0, 0),) * (b.ndim - 2))
+        out = jnp.stack([a, bp], axis=2)  # [R, C+1, 2, ...]
+        return out.reshape(a.shape[0], 2 * a.shape[1], *a.shape[2:])[:, :-1]
 
-    n1 = jnp.zeros((new_ny + 1, new_nx + 1, 4), dtype=surf.nodes.dtype)
-    valid1 = jnp.zeros((new_ny + 1, new_nx + 1), dtype=bool)
+    def interleave_rows(a, b):
+        """a [R+1, C, ...], b [R, C, ...] -> [2R+1, C, ...] alternating."""
+        bp = jnp.pad(b, ((0, 1),) + ((0, 0),) * (b.ndim - 1))
+        out = jnp.stack([a, bp], axis=1)  # [R+1, 2, C, ...]
+        return out.reshape(2 * a.shape[0], *a.shape[1:])[:-1]
 
-    def sl(start, count):
-        # strided positions start + 2k for k < count (explicit stop: when
-        # off=1 the grid has a border ring and open slices overrun)
-        return slice(start, start + 2 * count - 1, 2)
+    even_rows = interleave_cols(old_scaled, hval)     # [ny+1, 2nx+1, 4]
+    odd_rows = interleave_cols(vvval, center)         # [ny,   2nx+1, 4]
+    core = interleave_rows(even_rows, odd_rows)       # [2ny+1, 2nx+1, 4]
+    even_v = interleave_cols(surf.node_valid, hvalid)
+    odd_v = interleave_cols(vvalid, pv)
+    core_valid = interleave_rows(even_v, odd_v)
 
-    # Old nodes rescaled, at positions (off + 2i).
-    old_scaled = surf.nodes * scale_vec
-    r_old = sl(off_y, ny + 1)
-    c_old = sl(off_x, nx + 1)
-    n1 = n1.at[r_old, c_old].set(
-        jnp.where(surf.node_valid[..., None], old_scaled, 0.0)
-    )
-    valid1 = valid1.at[r_old, c_old].set(surf.node_valid)
-
-    # Patch centers at (off + 2i + 1), only from the owning patch.
-    center = jnp.where(pv[..., None], vals[:, :, 2, :], 0.0)
-    r_ctr = sl(off_y + 1, ny)
-    c_ctr = sl(off_x + 1, nx)
-    n1 = n1.at[r_ctr, c_ctr].set(center)
-    valid1 = valid1.at[r_ctr, c_ctr].set(pv)
-
-    # Horizontal edges (odd x, even y): rows r = off_y + 2j for j in 0..ny.
-    # Winner: top-edge eval of patch (i, j) if valid, else bottom-edge eval
-    # of patch (i, j-1)  [last-writer-wins in the reference's patch loop].
-    # NOTE: selection is arithmetic (mask multiply) rather than jnp.where —
-    # the where-of-padded-slices pattern miscompiled on the experimental
-    # axon TPU backend (edge nodes came back zeroed/garbled under jit).
-    dt = surf.nodes.dtype
-    top = v_pad[1:, 1:-1, 0, :]  # patch (i, j) for j in 0..ny (ny+1 rows)
-    top_v = pv_pad[1:, 1:-1].astype(dt)[..., None]
-    bot = v_pad[:-1, 1:-1, 4, :]  # patch (i, j-1)
-    bot_v = pv_pad[:-1, 1:-1].astype(dt)[..., None]
-    hval = top * top_v + bot * bot_v * (1.0 - top_v)
-    hvalid = (top_v + bot_v * (1.0 - top_v))[..., 0] > 0.5
-    r_h = sl(off_y, ny + 1)
-    c_h = sl(off_x + 1, nx)
-    n1 = n1.at[r_h, c_h].set(hval)
-    valid1 = valid1.at[r_h, c_h].set(hvalid)
-
-    # Vertical edges (even x, odd y): winner: left-edge eval of patch (i, j)
-    # if valid, else right-edge eval of patch (i-1, j).
-    left = v_pad[1:-1, 1:, 1, :]
-    left_v = pv_pad[1:-1, 1:].astype(dt)[..., None]
-    right = v_pad[1:-1, :-1, 3, :]
-    right_v = pv_pad[1:-1, :-1].astype(dt)[..., None]
-    vvval = left * left_v + right * right_v * (1.0 - left_v)
-    vvalid = (left_v + right_v * (1.0 - left_v))[..., 0] > 0.5
-    r_v = sl(off_y + 1, ny)
-    c_v = sl(off_x, nx + 1)
-    n1 = n1.at[r_v, c_v].set(vvval)
-    valid1 = valid1.at[r_v, c_v].set(vvalid)
+    pad_r = ((off_y, new_ny + 1 - (2 * ny + 1) - off_y),
+             (off_x, new_nx + 1 - (2 * nx + 1) - off_x))
+    n1 = jnp.pad(core, pad_r + ((0, 0),))
+    valid1 = jnp.pad(core_valid, pad_r)
 
     new_surf = Surface(
         nodes=n1,

@@ -4,6 +4,7 @@ semantics against analytic expectations)."""
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -130,3 +131,21 @@ def test_update_nodes_masks_invalid():
     out = S.update_nodes(surf, delta)
     assert float(out.nodes[0, 0, 0]) == 2.0  # untouched
     assert float(out.nodes[1, 1, 0]) == 3.0
+
+
+def test_subdivide_edge_nodes_with_ring_offset():
+    # Regression: with the off=1 border ring, the edge-midpoint nodes
+    # (odd/even and even/odd parities) used to come back zeroed-but-valid
+    # from a miscompiled sequence of strided scatters (XLA disjoint-scatter
+    # fusion bug, hit on CPU and TPU alike). Check every valid node value
+    # directly at node granularity, under jit, for a constant surface.
+    depth = jnp.full((360, 360), 7.0, dtype=jnp.float32)
+    surf = S.create_from_depth(depth, scale=4)
+    sub = jax.jit(S.subdivide)(surf)
+    assert sub.num_patches_x == 2 * surf.num_patches_x + 2
+    nd = np.asarray(sub.nodes)
+    nv = np.asarray(sub.node_valid)
+    assert nv.sum() > 3 * np.asarray(surf.node_valid).sum()
+    np.testing.assert_allclose(nd[..., 0][nv], 7.0, atol=1e-4)
+    # derivatives of a constant patch stay zero
+    np.testing.assert_allclose(nd[..., 1:][nv], 0.0, atol=1e-4)
