@@ -29,7 +29,7 @@ from smvs_tpu.pipeline.views import StereoViewState
 from smvs_tpu.utils.timing import StageTimer
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(frozen=True)
 class OptimizerOptions:
     """Mirror of `DepthOptimizer::Options` (reference `lib/depth_optimizer.h:30-42`)."""
 
@@ -379,209 +379,197 @@ def patch_tex_score(surf: S.Surface, main_image: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mean[..., 0] >= 0.05, score, 0.0)
 
 
-def make_newton_step(surf: S.Surface, view: gn.ViewSet, opts: OptimizerOptions,
-                     lighting):
-    """Build a jitted single-Newton-step function for this scale's shapes."""
+def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
+                 opts: OptimizerOptions, lighting):
+    """One Newton step (assembly + PCG solve + node update).
+
+    Plain traced function; always called from inside a module-level jitted
+    program (reference inner-loop body, `lib/depth_optimizer.cc:219-304`).
+    """
     gn_opts = gn.GNOptions(
         regularization=opts.regularization,
         light_surf_regularization=opts.light_surf_regularization,
         chunk=opts.chunk,
     )
-    template = surf
+    s = surf
+    act = active & s.node_valid
+    g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
+    P = stencil.block_jacobi_inverse(Hb, act)
+    gnorm = jnp.linalg.norm(g.reshape(-1))
+    res = cg.solve(
+        lambda x: stencil.spmv(Hb, x),
+        -g,
+        precond=lambda x: stencil.apply_block_diag(P, x),
+        max_iterations=200,
+        error_tolerance=gnorm * 0.01,
+        q_tolerance=1e-3,
+    )
+    delta = res.x
+    bad = ~jnp.isfinite(delta).all()
+    delta = jnp.where(bad, 0.0, delta)
 
-    @jax.jit
-    def step(nodes, node_valid, patch_valid, vis, active):
-        s = dataclasses.replace(template, nodes=nodes, node_valid=node_valid,
-                                patch_valid=patch_valid)
-        act = active & node_valid
-        g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
-        P = stencil.block_jacobi_inverse(Hb, act)
-        gnorm = jnp.linalg.norm(g.reshape(-1))
-        res = cg.solve(
-            lambda x: stencil.spmv(Hb, x),
-            -g,
-            precond=lambda x: stencil.apply_block_diag(P, x),
-            max_iterations=200,
-            error_tolerance=gnorm * 0.01,
-            q_tolerance=1e-3,
-        )
-        delta = res.x
-        bad = ~jnp.isfinite(delta).all()
-        delta = jnp.where(bad, 0.0, delta)
+    # Reprojection delta of the step, first order: |dproj/dw| * |dw|.
+    # (The reference differences two full projection passes,
+    # `lib/depth_optimizer.cc:271-303`; the closed form is cheaper and
+    # avoids subtractive cancellation between two huge tensors.)
+    s2 = S.update_nodes(s, delta)
+    ny, nx = s.num_patches_y, s.num_patches_x
+    u, v = _patch_pixel_grids(s)
+    w, _, _ = _patch_depths_and_derivs(s)
+    w = jnp.where(s.patch_valid[..., None], w, 1.0)
+    basis_f = bicubic.pixel_basis(s.patchsize, 1,
+                                  dtype=s.nodes.dtype)[:, 0, :]
+    dparams = (S.patch_params(s2) - S.patch_params(s)).reshape(
+        ny * nx, 16)
+    dw = jnp.abs(dparams @ basis_f.T).reshape(ny, nx, -1)  # [ny, nx, P]
 
-        # Reprojection delta of the step, first order: |dproj/dw| * |dw|.
-        # (The reference differences two full projection passes,
-        # `lib/depth_optimizer.cc:271-303`; the closed form is cheaper and
-        # avoids subtractive cancellation between two huge tensors.)
-        s2 = S.update_nodes(s, delta)
-        ny, nx = s.num_patches_y, s.num_patches_x
-        u, v = _patch_pixel_grids(s)
-        w, _, _ = _patch_depths_and_derivs(s)
-        w = jnp.where(s.patch_valid[..., None], w, 1.0)
-        basis_f = bicubic.pixel_basis(s.patchsize, 1,
-                                      dtype=s.nodes.dtype)[:, 0, :]
-        dparams = (S.patch_params(s2) - S.patch_params(s)).reshape(
-            ny * nx, 16)
-        dw = jnp.abs(dparams @ basis_f.T).reshape(ny, nx, -1)  # [ny, nx, P]
+    def per_n(M, t):
+        g = corr.warp_depth_gradient(M, t, u, v, w)
+        return jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
 
-        def per_n(M, t):
-            g = corr.warp_depth_gradient(M, t, u, v, w)
-            return jnp.sqrt(g[..., 0] ** 2 + g[..., 1] ** 2)
+    dproj_dw = jax.vmap(per_n)(view.M, view.t)  # [N, ny, nx, P]
+    diff = jnp.moveaxis(dproj_dw, 0, -1) * dw[..., None]  # [ny,nx,P,N]
 
-        dproj_dw = jax.vmap(per_n)(view.M, view.t)  # [N, ny, nx, P]
-        diff = jnp.moveaxis(dproj_dw, 0, -1) * dw[..., None]  # [ny,nx,P,N]
+    corner_active = (act[:-1, :-1] | act[:-1, 1:]
+                     | act[1:, :-1] | act[1:, 1:])
+    mask = jnp.broadcast_to(
+        vis[:, :, None, :] & corner_active[:, :, None, None]
+        & s.patch_valid[:, :, None, None], diff.shape)
+    diff = jnp.where(mask, diff, 0.0)
+    maskf = mask.astype(diff.dtype)
+    avg = jnp.sum(diff * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
 
-        corner_active = (act[:-1, :-1] | act[:-1, 1:]
-                         | act[1:, :-1] | act[1:, 1:])
-        mask = jnp.broadcast_to(
-            vis[:, :, None, :] & corner_active[:, :, None, None]
-            & patch_valid[:, :, None, None], diff.shape)
-        diff = jnp.where(mask, diff, 0.0)
-        maskf = mask.astype(diff.dtype)
-        avg = jnp.sum(diff * maskf) / jnp.maximum(jnp.sum(maskf), 1.0)
+    moved = (diff > 0.15).any((-1, -2))  # [ny, nx]
+    ny1, nx1 = s.node_valid.shape
+    new_active = jnp.zeros((ny1, nx1), bool)
+    mp = moved
+    new_active = new_active.at[:-1, :-1].max(mp)
+    new_active = new_active.at[:-1, 1:].max(mp)
+    new_active = new_active.at[1:, :-1].max(mp)
+    new_active = new_active.at[1:, 1:].max(mp)
+    new_active = new_active & s.node_valid
 
-        moved = (diff > 0.15).any((-1, -2))  # [ny, nx]
-        ny1, nx1 = node_valid.shape
-        new_active = jnp.zeros((ny1, nx1), bool)
-        mp = moved
-        new_active = new_active.at[:-1, :-1].max(mp)
-        new_active = new_active.at[:-1, 1:].max(mp)
-        new_active = new_active.at[1:, :-1].max(mp)
-        new_active = new_active.at[1:, 1:].max(mp)
-        new_active = new_active & node_valid
-
-        # Relative depth step: a platform-robust convergence measure.
-        f_safe = jnp.maximum(jnp.abs(s.nodes[..., 0]), 1e-6)
-        rel_step = jnp.max(
-            jnp.where(s.node_valid, jnp.abs(delta[..., 0]) / f_safe, 0.0))
-        return (s2.nodes, new_active, bad, avg, rel_step,
-                jnp.sum(new_active))
-
-    return step
+    # Relative depth step: a platform-robust convergence measure.
+    f_safe = jnp.maximum(jnp.abs(s.nodes[..., 0]), 1e-6)
+    rel_step = jnp.max(
+        jnp.where(s.node_valid, jnp.abs(delta[..., 0]) / f_safe, 0.0))
+    return (s2.nodes, new_active, bad, avg, rel_step,
+            jnp.sum(new_active))
 
 
-def make_newton_loop(surf: S.Surface, view: gn.ViewSet,
-                     opts: OptimizerOptions, lighting):
+def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
+                 opts: OptimizerOptions, lighting):
     """On-device Newton inner loop (`lax.while_loop` over steps).
 
-    Runs the reference's inner loop (`lib/depth_optimizer.cc:219-304`) —
-    up to ``max_newton_steps`` while >5% of nodes are active (or, in
+    Runs the reference inner loop (`lib/depth_optimizer.cc:219-304`) — up
+    to ``max_newton_steps`` while >5% of nodes are active (or, in
     full-optimization mode, while the average reprojection delta exceeds
-    0.01) — in a single device program, eliminating per-step host syncs.
-    Returns a jitted fn(nodes, node_valid, patch_valid, vis, active)
-    -> (nodes', active', steps_taken).
+    0.01) — as one traced while_loop, eliminating per-step host syncs.
+    Returns (nodes, active, steps_taken).
     """
-    step = make_newton_step(surf, view, opts, lighting)
     max_steps = opts.max_newton_steps
     full = opts.full_optimization
+    num_initial = jnp.sum(active & surf.node_valid)
 
-    @jax.jit
-    def loop(nodes, node_valid, patch_valid, vis, active):
-        num_initial = jnp.sum(active & node_valid)
+    def cond(state):
+        nodes, active_, steps, done = state
+        if full:
+            more = ~done
+        else:
+            more = jnp.sum(active_) > num_initial // 20
+        return (steps < max_steps) & more & ~done
 
-        def cond(state):
-            nodes, active, steps, done = state
-            if full:
-                more = ~done
-            else:
-                more = jnp.sum(active) > num_initial // 20
-            return (steps < max_steps) & more & ~done
+    def body(state):
+        nodes, active_, steps, _ = state
+        s = dataclasses.replace(surf, nodes=nodes)
+        (new_nodes, new_active, bad, avg, rel_step, n_act) = _newton_step(
+            s, view, vis, active_, opts, lighting)
+        converged = rel_step < 1e-4  # depth changed by < 0.01%
+        if full:
+            done = bad | (avg < 0.01) | converged
+            new_active = active_  # full mode keeps every node active
+        else:
+            # Active-set criterion plus hard convergence floors.
+            done = bad | (avg < 0.002) | converged
+        return (new_nodes, new_active, steps + 1, done)
 
-        def body(state):
-            nodes, active, steps, _ = state
-            (new_nodes, new_active, bad, avg, rel_step, n_act) = step(
-                nodes, node_valid, patch_valid, vis, active)
-            converged = rel_step < 1e-4  # depth changed by < 0.01%
-            if full:
-                done = bad | (avg < 0.01) | converged
-                new_active = active  # full mode keeps every node active
-            else:
-                # Active-set criterion plus hard convergence floors.
-                done = bad | (avg < 0.002) | converged
-            return (new_nodes, new_active, steps + 1, done)
-
-        init = (nodes, active, jnp.asarray(0, jnp.int32),
-                jnp.asarray(False))
-        nodes, active, steps, _ = jax.lax.while_loop(cond, body, init)
-        return nodes, active, steps
-
-    return loop
+    init = (surf.nodes, active, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False))
+    nodes, active, steps, _ = jax.lax.while_loop(cond, body, init)
+    return nodes, active, steps
 
 
-def make_scale_program(surf: S.Surface, view: gn.ViewSet,
-                       opts: OptimizerOptions, lighting,
-                       inv_cal: jnp.ndarray):
+@partial(jax.jit, static_argnames=("opts",))
+def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
+                  main_img, sub_imgs, inv_cal, lighting,
+                  opts: OptimizerOptions):
     """One fully on-device program for a scale's outer iteration loop.
 
     Mirrors `DepthOptimizer::run_newton_iterations` (reference :164-358):
     per outer iteration run the Newton inner loop, then boundary cutting /
     expansion / isolated-patch cleanup, tracking patch-count convergence.
-    Runs as a single dispatch to hide the per-call device latency.
+    A single module-level jit keyed on (surface meta + shapes, opts), so a
+    scene of same-sized views traces and compiles this exactly once.
     """
-    newton = make_newton_loop(surf, view, opts, lighting)
-    template = surf
     num_iters = opts.num_iterations
     use_sgm = opts.use_sgm
+    template = surf
 
-    @jax.jit
-    def run(nodes, node_valid, patch_valid, vis, sgm_depth, main_img,
-            sub_imgs):
-        def mk(nodes, node_valid, patch_valid):
-            return dataclasses.replace(template, nodes=nodes,
-                                       node_valid=node_valid,
-                                       patch_valid=patch_valid)
+    def mk(nodes, node_valid, patch_valid):
+        return dataclasses.replace(template, nodes=nodes,
+                                   node_valid=node_valid,
+                                   patch_valid=patch_valid)
 
-        stats0 = jnp.zeros((num_iters, 2), jnp.int32)
+    stats0 = jnp.zeros((num_iters, 2), jnp.int32)
 
-        def body(state):
-            (nodes, node_valid, patch_valid, vis, it, brk, prev_count,
-             finished, stats) = state
-            nodes, _, steps = newton(nodes, node_valid, patch_valid, vis,
-                                     node_valid)
-            break_next = finished
+    def body(state):
+        (nodes, node_valid, patch_valid, vis, it, brk, prev_count,
+         finished, stats) = state
+        nodes, _, steps = _newton_loop(
+            mk(nodes, node_valid, patch_valid), view, vis, node_valid,
+            opts, lighting)
+        break_next = finished
 
-            def cleanup(args):
-                nodes, node_valid, patch_valid, vis = args
-                surf_ = mk(nodes, node_valid, patch_valid)
-                surf_, vis = cut_boundaries_loop(surf_, view, vis, inv_cal)
-                if not use_sgm:
-                    surf_ = S.expand(surf_)
-                    surf_, vis = compute_visibility(
-                        surf_, view, sgm_depth, use_sgm, main_img, sub_imgs)
-                    surf_, vis = cut_boundaries_loop(surf_, view, vis,
-                                                     inv_cal)
-                surf_ = S.remove_isolated_patches(surf_)
-                vis = vis & surf_.patch_valid[..., None]
-                return (surf_.nodes, surf_.node_valid, surf_.patch_valid,
-                        vis)
+        def cleanup(args):
+            nodes, node_valid, patch_valid, vis = args
+            surf_ = mk(nodes, node_valid, patch_valid)
+            surf_, vis = cut_boundaries_loop(surf_, view, vis, inv_cal)
+            if not use_sgm:
+                surf_ = S.expand(surf_)
+                surf_, vis = compute_visibility(
+                    surf_, view, sgm_depth, use_sgm, main_img, sub_imgs)
+                surf_, vis = cut_boundaries_loop(surf_, view, vis,
+                                                 inv_cal)
+            surf_ = S.remove_isolated_patches(surf_)
+            vis = vis & surf_.patch_valid[..., None]
+            return (surf_.nodes, surf_.node_valid, surf_.patch_valid,
+                    vis)
 
-            nodes, node_valid, patch_valid, vis = jax.lax.cond(
-                finished, lambda a: a, cleanup,
-                (nodes, node_valid, patch_valid, vis))
+        nodes, node_valid, patch_valid, vis = jax.lax.cond(
+            finished, lambda a: a, cleanup,
+            (nodes, node_valid, patch_valid, vis))
 
-            new_count = jnp.sum(patch_valid)
-            lo = jnp.minimum(new_count, prev_count)
-            hi = jnp.maximum(jnp.maximum(new_count, prev_count), 1)
-            change = 1.0 - lo.astype(jnp.float32) / hi.astype(jnp.float32)
-            conv = (it > 0) & ((new_count <= prev_count)
-                               | (change < 0.05 * template.scale))
-            finished = finished | conv
-            stats = stats.at[it, 0].set(steps)
-            stats = stats.at[it, 1].set(new_count)
-            return (nodes, node_valid, patch_valid, vis, it + 1, break_next,
-                    new_count, finished, stats)
+        new_count = jnp.sum(patch_valid)
+        lo = jnp.minimum(new_count, prev_count)
+        hi = jnp.maximum(jnp.maximum(new_count, prev_count), 1)
+        change = 1.0 - lo.astype(jnp.float32) / hi.astype(jnp.float32)
+        conv = (it > 0) & ((new_count <= prev_count)
+                           | (change < 0.05 * template.scale))
+        finished = finished | conv
+        stats = stats.at[it, 0].set(steps)
+        stats = stats.at[it, 1].set(new_count)
+        return (nodes, node_valid, patch_valid, vis, it + 1, break_next,
+                new_count, finished, stats)
 
-        def cond(state):
-            it, brk = state[4], state[5]
-            return (it < num_iters) & ~brk
+    def cond(state):
+        it, brk = state[4], state[5]
+        return (it < num_iters) & ~brk
 
-        init = (nodes, node_valid, patch_valid, vis,
-                jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                jnp.sum(patch_valid), jnp.asarray(False), stats0)
-        out = jax.lax.while_loop(cond, body, init)
-        return out[0], out[1], out[2], out[8]
-
-    return run
+    init = (surf.nodes, surf.node_valid, surf.patch_valid, vis,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.sum(surf.patch_valid), jnp.asarray(False), stats0)
+    out = jax.lax.while_loop(cond, body, init)
+    return out[0], out[1], out[2], out[8]
 
 
 def run_newton_iterations(
@@ -612,13 +600,12 @@ def run_newton_iterations(
         surf, vis = cut_boundaries_loop(surf, view, vis, inv_cal)
         vis.block_until_ready()
 
-    program = make_scale_program(surf, view, opts, lighting, inv_cal)
     sgm_arg = (sgm_depth if sgm_depth is not None
                else jnp.zeros((surf.height, surf.width), surf.nodes.dtype))
     with timer.stage(f"iterations@s{surf.scale}"):
-        nodes, node_valid, patch_valid, stats = program(
-            surf.nodes, surf.node_valid, surf.patch_valid, vis, sgm_arg,
-            main_img, sub_imgs)
+        nodes, node_valid, patch_valid, stats = scale_program(
+            surf, view, vis, sgm_arg, main_img, sub_imgs, inv_cal,
+            lighting, opts)
         nodes.block_until_ready()
     surf = dataclasses.replace(surf, nodes=nodes, node_valid=node_valid,
                                patch_valid=patch_valid)
