@@ -46,19 +46,14 @@ def run_once(dim, min_scale):
     sub_v = make_view(scene.cameras[0], scene.images[0], view_id=0)
 
     t0 = time.time()
-    M_mn, t_mn = scene.cameras[1].fill_reprojection(
-        scene.cameras[0], dim, dim, dim, dim)
-    M_nm, t_nm = scene.cameras[0].fill_reprojection(
-        scene.cameras[1], dim, dim, dim, dim)
-    sgm_depth = sgm.reconstruct(
+    sgm_depth = sgm.reconstruct_auto(
+        scene.cameras[1], scene.cameras[0],
         jnp.asarray(scene.images[1] * 255.0),
         jnp.asarray(scene.images[0] * 255.0),
-        jnp.asarray(M_mn), jnp.asarray(t_mn),
-        jnp.asarray(M_nm), jnp.asarray(t_nm),
-        range_main=(3.5, 9.5), range_neighbor=(3.5, 9.5),
+        range_main=(3.5, 9.5), range_nbr=(3.5, 9.5),
     )
-    sgm_depth.block_until_ready()
-    t_sgm = time.time() - t0
+    np.asarray(sgm_depth)  # force completion (block_until_ready is
+    t_sgm = time.time() - t0  # unreliable under the axon tunnel)
 
     t0 = time.time()
     opts = O.OptimizerOptions(

@@ -49,17 +49,11 @@ def main():
     sgm_depth = None
     init_surface = None
     if args.sgm:
-        dim = args.dim
-        M_mn, t_mn = scene.cameras[1].fill_reprojection(
-            scene.cameras[0], dim, dim, dim, dim)
-        M_nm, t_nm = scene.cameras[0].fill_reprojection(
-            scene.cameras[1], dim, dim, dim, dim)
-        sgm_depth = sgm.reconstruct(
+        sgm_depth = sgm.reconstruct_auto(
+            scene.cameras[1], scene.cameras[0],
             jnp.asarray(scene.images[1] * 255.0),
             jnp.asarray(scene.images[0] * 255.0),
-            jnp.asarray(M_mn), jnp.asarray(t_mn),
-            jnp.asarray(M_nm), jnp.asarray(t_nm),
-            range_main=(3.5, 9.0), range_neighbor=(3.5, 9.0),
+            range_main=(3.5, 9.0), range_nbr=(3.5, 9.0),
         )
         cov = float((np.asarray(sgm_depth) > 0).mean())
         print(f"SGM done in {time.time()-t0:.1f}s, coverage {cov:.1%}")

@@ -327,13 +327,10 @@ def reconstruct_sgm(conf, by_id, i, nbrs, load_gray, bundle, sgm_range):
         nb_img = at_sgm_scale(load_gray(n))
         hn, wn = nb_img.shape
         cam_n = by_id[n].camera
-        M_mn, t_mn = cam_i.fill_reprojection(cam_n, w, h, wn, hn)
-        M_nm, t_nm = cam_n.fill_reprojection(cam_i, wn, hn, w, h)
-        d = sgm.reconstruct(
-            main_img, nb_img, jnp.asarray(M_mn), jnp.asarray(t_mn),
-            jnp.asarray(M_nm), jnp.asarray(t_nm),
+        d = sgm.reconstruct_auto(
+            cam_i, cam_n, main_img, nb_img,
             range_main=depth_range(i, cam_i, w, h),
-            range_neighbor=depth_range(n, cam_n, wn, hn), opts=opts)
+            range_nbr=depth_range(n, cam_n, wn, hn), opts=opts)
         d = np.asarray(d)
         if acc is None:
             acc = d

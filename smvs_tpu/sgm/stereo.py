@@ -289,3 +289,202 @@ def depth_range_from_features(feature_depths: np.ndarray
     if d.size < 2:
         return 0.3, 1.1
     return float(d[0] * 0.7), float(d[(d.size * 99) // 100] * 5.0)
+
+
+# ---------------------------------------------------------------------------
+# Rectified fast path: the sweep as integer-disparity census shifts.
+#
+# The general path above gathers W*H*D bilinear samples (the dominant cost
+# on TPU: ~700 ms of a 703 ms cost volume at 360^2 x 128, vs 25 ms for all
+# 128 census transforms). After epipolar rectification every inverse-depth
+# plane is a pure x-shift, so the cost volume needs NO gathers at all; and
+# uniform disparity steps are exactly the reference's uniform inverse-depth
+# sweep (`lib/sgm_stereo.cc:193-203`). See `smvs_tpu/sgm/rectify.py`.
+# ---------------------------------------------------------------------------
+
+
+def _disparity_cost(m_hi, m_lo, nbr_img, shifts: jnp.ndarray) -> jnp.ndarray:
+    """Census Hamming cost volume [H, W, D] over fractional x-shifts.
+
+    Per plane the neighbor image is shifted by ``shifts[d]`` (a 2-tap blend
+    of two static-width slices — the rectified analog of the reference's
+    per-plane bilinear warp, :150-190, with zero gathers), then
+    census-transformed and Hamming-matched against the main census
+    (:226-243). Unwarpable positions get INVALID_COST (:216-221). Shifts
+    are traced, so one compilation covers every view pair.
+    """
+    h, w = m_hi.shape
+    pimg = jnp.pad(nbr_img, ((0, 0), (w, w)))
+
+    def per_shift(s):
+        si = jnp.floor(s).astype(jnp.int32)
+        a = (s - si.astype(s.dtype)).astype(nbr_img.dtype)
+        start = jnp.clip(w - si, 1, 2 * w).astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        t0 = jax.lax.dynamic_slice(pimg, (zero, start), (h, w))  # x - floor(s)
+        t1 = jax.lax.dynamic_slice(pimg, (zero, start - 1), (h, w))
+        warped = jnp.where((t0 != 0) & (t1 != 0), (1 - a) * t0 + a * t1, 0.0)
+        w_hi, w_lo = census_transform(warped)
+        cost = _hamming(m_hi, m_lo, w_hi, w_lo)
+        return jnp.where(warped != 0, cost, INVALID_COST)
+
+    out = jax.lax.map(per_shift, shifts)  # [D, H, W]
+    return jnp.moveaxis(out, 0, -1)
+
+
+def _at_plane(vol: jnp.ndarray, idx: jnp.ndarray, offset: int) -> jnp.ndarray:
+    """vol[y, x, idx[y, x] + offset] via a masked reduction (no gather)."""
+    d = vol.shape[-1]
+    want = jnp.clip(idx + offset, 0, d - 1)
+    planes = jnp.arange(d)
+    return jnp.sum(jnp.where(planes == want[..., None], vol, 0), axis=-1)
+
+
+def _wta_subpixel(agg: jnp.ndarray, raw_cost: jnp.ndarray,
+                  intensity: jnp.ndarray, disp0, dstep):
+    """WTA + parabolic sub-plane refinement -> (disparity, valid).
+
+    Rejection mirrors the reference (`depth_from_sgm_volume`, :274-306):
+    the two lowest sweep planes and dark pixels; additionally the winning
+    plane must hold a real (non-INVALID) raw matching cost. The parabola
+    fit is an improvement over the reference's discrete WTA — sub-plane
+    disparity costs nothing here and sharpens the initialization.
+    """
+    idx = jnp.argmin(agg, axis=-1)
+    c0 = _at_plane(agg, idx, 0).astype(jnp.float32)
+    cm = _at_plane(agg, idx, -1).astype(jnp.float32)
+    cp = _at_plane(agg, idx, 1).astype(jnp.float32)
+    denom = cm + cp - 2.0 * c0
+    frac = jnp.where(denom > 1e-6, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-6),
+                     0.0)
+    d = agg.shape[-1]
+    frac = jnp.where((idx > 0) & (idx < d - 1), jnp.clip(frac, -0.5, 0.5), 0.0)
+    disp = disp0 + dstep * (idx.astype(jnp.float32) + frac)
+    matched = _at_plane(raw_cost, idx, 0) < INVALID_COST
+    ok = (idx >= 2) & (intensity >= 25) & matched
+    return disp, ok
+
+
+@functools.partial(jax.jit, static_argnames=("p1", "p2", "use_pallas"))
+def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
+                   shifts, p1: int, p2: int, use_pallas: bool):
+    """Full bidirectional SGM in the rectified frame -> main-view z-depth.
+
+    main_r / nbr_r: rectified intensities [H, W] (0..255 scale, 0 =
+    outside the original image). H_main maps original main pixel-center
+    coords to rectified coords; L_main converts rectified depth back to
+    main z-depth (see `rectify.RectifiedPair`). All pair geometry enters
+    as traced scalars, so this compiles once per image size.
+    """
+    h, w = main_r.shape
+    f32 = main_r.dtype
+
+    m_hi, m_lo = census_transform(main_r)
+    n_hi, n_lo = census_transform(nbr_r)
+
+    def run_dir(a_hi, a_lo, b_img, inten, sgn):
+        cost = _disparity_cost(a_hi, a_lo, b_img, sgn * shifts)
+        if use_pallas:
+            from smvs_tpu.sgm import pallas_agg
+
+            agg = pallas_agg.aggregate(cost, inten.astype(jnp.int32), p1, p2)
+        else:
+            agg = aggregate(cost, inten, p1, p2)
+        return _wta_subpixel(agg, cost, inten, disp0, dstep)
+
+    disp_m, ok_m = run_dir(m_hi, m_lo, nbr_r, main_r, 1)
+    disp_n, ok_n = run_dir(n_hi, n_lo, main_r, nbr_r, -1)
+
+    # Bidirectional consistency (reference `reconstruct`, :64-91): the
+    # matched neighbor pixel must see a compatible depth (ratio >= 0.8)
+    # and lie inside a 3% border margin.
+    ys, xs = jnp.mgrid[0:h, 0:w]
+    cut = 0.03 * max(w, h)
+    xn = xs.astype(f32) - disp_m
+    inb = (xn >= cut) & (xn < w - cut) & (ys >= cut) & (ys < h - cut)
+    xi = jnp.clip(jnp.round(xn).astype(jnp.int32), 0, w - 1)
+    disp_n_at = disp_n[ys, xi]
+    ok_n_at = ok_n[ys, xi]
+    zm_rect = fB / jnp.where(jnp.abs(disp_m - off) > 1e-9, disp_m - off, 1e9)
+    zn_rect = fB / jnp.where(jnp.abs(disp_n_at - off) > 1e-9,
+                             disp_n_at - off, 1e9)
+    ratio = jnp.minimum(zm_rect, zn_rect) / jnp.maximum(
+        jnp.maximum(zm_rect, zn_rect), 1e-20)
+    good = ok_m & ok_n_at & inb & (zm_rect > 0) & (zn_rect > 0) & \
+        (ratio >= 0.8)
+    z_rect = jnp.where(good, zm_rect, 0.0)
+
+    # Un-rectify: each original main pixel reads the rectified depth at its
+    # homography image and converts to main-camera z-depth.
+    Hc = H_main.astype(f32)
+    u = xs.astype(f32) + 0.5
+    v = ys.astype(f32) + 0.5
+    rx = Hc[0, 0] * u + Hc[0, 1] * v + Hc[0, 2]
+    ry = Hc[1, 0] * u + Hc[1, 1] * v + Hc[1, 2]
+    rz = Hc[2, 0] * u + Hc[2, 1] * v + Hc[2, 2]
+    rx = rx / rz
+    ry = ry / rz
+    rxi = jnp.clip(jnp.round(rx - 0.5).astype(jnp.int32), 0, w - 1)
+    ryi = jnp.clip(jnp.round(ry - 0.5).astype(jnp.int32), 0, h - 1)
+    z_at = z_rect[ryi, rxi]
+    inb_r = (rz > 0) & (rx >= 0.5) & (rx <= w - 0.5) & (ry >= 0.5) & \
+        (ry <= h - 0.5)
+    Lc = L_main.astype(f32)
+    depth = z_at * (Lc[0] * rx + Lc[1] * ry + Lc[2])
+    return jnp.where(inb_r & (z_at > 0) & (depth > 0), depth, 0.0)
+
+
+def reconstruct_rectified(rp, main_img: jnp.ndarray, nbr_img: jnp.ndarray,
+                          opts: SGMOptions = SGMOptions(),
+                          use_pallas: bool | None = None) -> jnp.ndarray:
+    """Bidirectional SGM through a precomputed rectification.
+
+    ``rp`` is a valid `rectify.RectifiedPair`. Images are [H, W]
+    intensities on the 0..255 scale in the ORIGINAL frames; the returned
+    depth map is in the main view's frame like :func:`reconstruct`.
+    """
+    from smvs_tpu.sgm import rectify as R
+
+    main_r = R.warp_homography(jnp.asarray(main_img),
+                               jnp.asarray(np.linalg.inv(rp.H_main)))
+    nbr_r = R.warp_homography(jnp.asarray(nbr_img),
+                              jnp.asarray(np.linalg.inv(rp.H_nbr)))
+    d = opts.num_steps
+    lo = float(rp.disp_lo)
+    step = max((rp.disp_hi - lo) / max(d - 1, 1), 1e-3)
+    f32 = jnp.asarray(main_img).dtype
+    shifts = jnp.asarray(lo, f32) + jnp.asarray(step, f32) * jnp.arange(d, dtype=f32)
+    return _rectified_sgm(
+        main_r, nbr_r, jnp.asarray(rp.H_main, f32),
+        jnp.asarray(rp.L_main, f32), jnp.asarray(rp.fB, f32),
+        jnp.asarray(rp.off, f32), jnp.asarray(lo, f32),
+        jnp.asarray(step, f32), shifts,
+        opts.penalty1, opts.penalty2,
+        _use_pallas_default() if use_pallas is None else use_pallas)
+
+
+def reconstruct_auto(cam_main, cam_nbr, main_img, nbr_img,
+                     range_main: tuple[float, float],
+                     range_nbr: tuple[float, float],
+                     opts: SGMOptions = SGMOptions(),
+                     use_pallas: bool | None = None) -> jnp.ndarray:
+    """Camera-level entry: rectified fast path with general-warp fallback.
+
+    Equivalent to the reference's `SGMStereo::reconstruct` (:46-96) given
+    the two cameras; picks the shift-based rectified sweep whenever the
+    pair geometry allows it and falls back to the per-plane gather path
+    for degenerate (near-forward-motion) pairs.
+    """
+    from smvs_tpu.sgm import rectify as R
+
+    h, w = np.asarray(main_img).shape
+    rp = R.rectify_pair(cam_main, cam_nbr, w, h, range_main, range_nbr)
+    if rp.valid:
+        return reconstruct_rectified(rp, main_img, nbr_img, opts, use_pallas)
+    hn, wn = np.asarray(nbr_img).shape
+    M_mn, t_mn = cam_main.fill_reprojection(cam_nbr, w, h, wn, hn)
+    M_nm, t_nm = cam_nbr.fill_reprojection(cam_main, wn, hn, w, h)
+    return reconstruct(jnp.asarray(main_img), jnp.asarray(nbr_img),
+                       jnp.asarray(M_mn), jnp.asarray(t_mn),
+                       jnp.asarray(M_nm), jnp.asarray(t_nm),
+                       range_main, range_neighbor=range_nbr, opts=opts)

@@ -91,3 +91,54 @@ def test_consistency_filter_drops_mismatches():
     # neighbor disagrees -> all dropped
     out2 = np.asarray(sgm.consistency_filter(d, d * 3.0, M, t))
     assert (out2 == 0).all()
+
+
+def test_rectified_sgm_recovers_synthetic_depth():
+    """The rectified (shift-based) fast path matches or beats the general
+    gather path on the synthetic scene (reference parity: `reconstruct`,
+    lib/sgm_stereo.cc:46-96)."""
+    from smvs_tpu.sgm import rectify as R
+
+    scene = make_two_view_scene(dim=160, rotate=True, texture="noise")
+    dim = scene.width
+    rp = R.rectify_pair(scene.cameras[1], scene.cameras[0], dim, dim,
+                        (4.0, 8.5), (4.0, 8.5))
+    assert rp.valid  # lateral baseline -> rectifiable
+
+    depth = np.asarray(sgm.reconstruct_auto(
+        scene.cameras[1], scene.cameras[0],
+        jnp.asarray(scene.images[1] * 255.0),
+        jnp.asarray(scene.images[0] * 255.0),
+        (4.0, 8.5), (4.0, 8.5), opts=sgm.SGMOptions(num_steps=96),
+        use_pallas=False))
+    gt = scene.depths[1]
+    mask = depth > 0
+    assert mask.mean() > 0.25, f"coverage {mask.mean():.3f}"
+    rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+    # sub-plane WTA should land well under one sweep step of error
+    assert np.median(rel) < 0.01, f"median err {np.median(rel):.4f}"
+
+
+def test_rectify_rejects_forward_motion():
+    """Near-forward baselines must fall back to the general path."""
+    from smvs_tpu.core.camera import Camera
+    from smvs_tpu.sgm import rectify as R
+
+    cam0 = Camera(flen=1.0, rot=np.eye(3), trans=np.zeros(3))
+    cam1 = Camera(flen=1.0, rot=np.eye(3), trans=np.array([0.0, 0.0, 0.4]))
+    rp = R.rectify_pair(cam0, cam1, 100, 100, (3.0, 9.0), (3.0, 9.0))
+    assert not rp.valid
+
+
+def test_warp_homography_identity_and_shift():
+    from smvs_tpu.sgm import rectify as R
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(10, 250, size=(24, 30)))
+    out = np.asarray(R.warp_homography(img, jnp.eye(3)))
+    np.testing.assert_allclose(out, np.asarray(img), rtol=1e-6)
+    # pure translation by (2, 1): output (x,y) samples input (x+2, y+1)
+    H_inv = jnp.asarray(np.array([[1.0, 0, 2.0], [0, 1.0, 1.0], [0, 0, 1.0]]))
+    out = np.asarray(R.warp_homography(img, H_inv))
+    np.testing.assert_allclose(out[:-1, :-2], np.asarray(img)[1:, 2:],
+                               rtol=1e-6)
