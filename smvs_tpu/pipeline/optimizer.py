@@ -44,7 +44,10 @@ class OptimizerOptions:
     output_name: str = "smvs" 
     # TPU-specific knobs
     max_newton_steps: int = 200
-    chunk: int = 256
+    chunk: int = 4096
+    # Newton steps without active-set or reprojection-delta improvement
+    # before the inner loop exits (see `_newton_loop`).
+    stall_limit: int = 8
 
 
 def initial_scale(width: int, height: int) -> int:
@@ -414,10 +417,15 @@ def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
     # avoids subtractive cancellation between two huge tensors.)
     s2 = S.update_nodes(s, delta)
     ny, nx = s.num_patches_y, s.num_patches_x
-    u, v = _patch_pixel_grids(s)
-    w, _, _ = _patch_depths_and_derivs(s)
+    # The reprojection delta is a working-set heuristic; a 2x2 pixel
+    # subsample per patch estimates the max movement at a fraction of the
+    # full-resolution cost (the reference pays full cost but only on
+    # active patches, `lib/depth_optimizer.cc:271-303`).
+    samp = max(1, s.patchsize // 2)
+    u, v = _patch_pixel_grids_sub(s, samp)
+    w, _, _ = _patch_depths_and_derivs_sub(s, samp)
     w = jnp.where(s.patch_valid[..., None], w, 1.0)
-    basis_f = bicubic.pixel_basis(s.patchsize, 1,
+    basis_f = bicubic.pixel_basis(s.patchsize, samp,
                                   dtype=s.nodes.dtype)[:, 0, :]
     dparams = (S.patch_params(s2) - S.patch_params(s)).reshape(
         ny * nx, 16)
@@ -470,9 +478,10 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
     max_steps = opts.max_newton_steps
     full = opts.full_optimization
     num_initial = jnp.sum(active & surf.node_valid)
+    big = jnp.asarray(jnp.inf, surf.nodes.dtype)
 
     def cond(state):
-        nodes, active_, steps, done = state
+        nodes, active_, steps, done = state[:4]
         if full:
             more = ~done
         else:
@@ -480,22 +489,36 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
         return (steps < max_steps) & more & ~done
 
     def body(state):
-        nodes, active_, steps, _ = state
+        nodes, active_, steps, _, best_act, best_avg, stall = state
         s = dataclasses.replace(surf, nodes=nodes)
         (new_nodes, new_active, bad, avg, rel_step, n_act) = _newton_step(
             s, view, vis, active_, opts, lighting)
         converged = rel_step < 1e-4  # depth changed by < 0.01%
+        # Plateau detection: the reference tolerates a small cluster of
+        # never-converging (oscillating) nodes because its per-step cost
+        # shrinks with the active set (`lib/depth_optimizer.cc:291-303`
+        # only re-assembles active nodes); here every step costs a full
+        # assembly, so once neither the active count nor the average
+        # reprojection delta improves for several steps we stop — those
+        # nodes would not converge in 200 steps either.
+        improved = (n_act < best_act) | (avg < 0.9 * best_avg)
+        stall = jnp.where(improved, 0, stall + 1)
+        best_act = jnp.minimum(best_act, n_act)
+        best_avg = jnp.minimum(best_avg, avg)
+        stalled = stall >= opts.stall_limit
         if full:
-            done = bad | (avg < 0.01) | converged
+            done = bad | (avg < 0.01) | converged | stalled
             new_active = active_  # full mode keeps every node active
         else:
             # Active-set criterion plus hard convergence floors.
-            done = bad | (avg < 0.002) | converged
-        return (new_nodes, new_active, steps + 1, done)
+            done = bad | (avg < 0.002) | converged | stalled
+        return (new_nodes, new_active, steps + 1, done, best_act,
+                best_avg, stall)
 
     init = (surf.nodes, active, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False))
-    nodes, active, steps, _ = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(False), num_initial + 1, big,
+            jnp.asarray(0, jnp.int32))
+    nodes, active, steps = jax.lax.while_loop(cond, body, init)[:3]
     return nodes, active, steps
 
 

@@ -60,7 +60,11 @@ class ViewSet(NamedTuple):
 class GNOptions:
     regularization: float = 0.01
     light_surf_regularization: float = 0.0
-    chunk: int = 256  # patches per lax.map slab (memory bound)
+    # Upper bound on patches per lax.map slab. The effective chunk is
+    # scaled down so a slab stays near `chunk * 16` pixels regardless of
+    # patch size — big enough to fill the chip, small enough to bound the
+    # Jacobian workspace.
+    chunk: int = 4096
 
 
 def _sampling_for_scale(scale: int) -> int:
@@ -322,7 +326,8 @@ def assemble(
     vfn = jax.vmap(fn)
 
     B = ny * nx
-    chunk = min(opts.chunk, B)
+    P_pix = pix_u.shape[1]
+    chunk = max(1, min(opts.chunk, B, (opts.chunk * 16) // max(P_pix, 1)))
     pad = (-B) % chunk
 
     def padded(x):
