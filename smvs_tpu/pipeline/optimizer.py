@@ -579,8 +579,8 @@ def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
         conv = (it > 0) & ((new_count <= prev_count)
                            | (change < 0.05 * template.scale))
         finished = finished | conv
-        stats = stats.at[it, 0].set(steps)
-        stats = stats.at[it, 1].set(new_count)
+        stats = stats.at[it, 0].set(jnp.asarray(steps, jnp.int32))
+        stats = stats.at[it, 1].set(jnp.asarray(new_count, jnp.int32))
         return (nodes, node_valid, patch_valid, vis, it + 1, break_next,
                 new_count, finished, stats)
 
