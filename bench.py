@@ -41,7 +41,15 @@ def run_once(dim, min_scale):
     from smvs_tpu.pipeline.views import make_view
     from smvs_tpu.sgm import stereo as sgm
 
-    scene = make_two_view_scene(dim=dim, rotate=True, texture="noise")
+    # Resolution-independent geometry: the default depth plane of
+    # make_two_view_scene slopes per *pixel* (5 + 0.005*(i+j), the
+    # reference harness convention at ~460px); at larger dims that runs
+    # past the SGM sweep range. Fix the world geometry, vary only the
+    # sampling resolution, so MP/s numbers are comparable across dims.
+    slope = 0.005 * 460.0 / dim
+    scene = make_two_view_scene(
+        dim=dim, rotate=True, texture="noise",
+        depth_fn=lambda i, j: 5.0 + slope * i + slope * j)
     main_v = make_view(scene.cameras[1], scene.images[1], view_id=1)
     sub_v = make_view(scene.cameras[0], scene.images[0], view_id=0)
 

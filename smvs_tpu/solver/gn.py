@@ -270,21 +270,21 @@ def patch_grad_hessian(
                             jnp.zeros_like(params16).at[0::4].set(1.0))
     vals = jnp.einsum("pkm,m->pk", basis, params_safe)  # [P, 6]
 
+    # One linearized primal computes residuals AND weights (the weights are
+    # stop-gradiented inside, so their tangent code is dead and XLA drops
+    # it) — the expensive warp + image gathers run once instead of twice.
     def res_fn(v):
-        return _patch_residuals(v, pix_u, pix_v, grad_main, vis, view,
+        r, w = _patch_residuals(v, pix_u, pix_v, grad_main, vis, view,
                                 lighting, opts, width, height,
-                                want_weights=False)
+                                want_weights=True)
+        return r, jax.lax.stop_gradient(w)
 
-    _, weights = _patch_residuals(
-        vals, pix_u, pix_v, grad_main, vis, view, lighting,
-        opts, width, height, want_weights=True)
-    weights = jax.lax.stop_gradient(weights) * patch_ok
-    residuals, f_jvp = jax.linearize(res_fn, vals)
-    cols = []
-    for k in range(6):
-        seed = jnp.zeros_like(vals).at[:, k].set(1.0)
-        cols.append(f_jvp(seed))
-    J6 = _nan0(jnp.stack(cols, axis=-1))  # [P, C, 6]
+    (residuals, weights), f_jvp = jax.linearize(res_fn, vals)
+    weights = weights * patch_ok
+    seeds = jnp.eye(6, dtype=vals.dtype)[:, None, :] * jnp.ones_like(
+        vals)[None, :, :]  # [6, P, 6] one-hot value-component seeds
+    cols = jax.vmap(lambda s: f_jvp(s)[0])(seeds)  # [6, P, C]
+    J6 = _nan0(jnp.moveaxis(cols, 0, -1))  # [P, C, 6]
     residuals = _nan0(residuals)
 
     A = jnp.einsum("pck,pc,pcl->pkl", J6, weights, J6)  # [P, 6, 6]
