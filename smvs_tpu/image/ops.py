@@ -174,3 +174,73 @@ def _sample_gradient_jvp(primals, tangents):
     d0 = hxx * dx + hxy * dy
     d1 = hxy * dx + hyy * dy
     return out, jnp.stack([d0, d1], axis=-1)
+
+
+def pack_gradhess(grad: jnp.ndarray, hess: jnp.ndarray) -> jnp.ndarray:
+    """Stack grad [2, H, W] + hess [3, H, W] into one [H, W, 5] sampling image.
+
+    Channels: (Ix, Iy, Ixx, Ixy, Iyy). One channels-last array means
+    `sample_window` fetches a pixel's whole 2x2x5 stencil with a single
+    gather-of-slices instead of 20 scalar gathers.
+    """
+    return jnp.moveaxis(jnp.concatenate([grad, hess], axis=0), 0, -1)
+
+
+def sample_window(img_c: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Bilinear sample of a channels-last image img_c [H, W, C] at (x, y).
+
+    Same border-clamp semantics as :func:`bilinear`, but all C channels of
+    the 2x2 support window come from ONE gather with slice_sizes (2, 2, C)
+    (lowered from a vmapped dynamic_slice) — the per-sample index math is
+    paid once rather than per corner per channel. Returns [..., C].
+    """
+    h, w, c = img_c.shape
+    shape = x.shape
+    xf = jnp.clip(x.reshape(-1), 0.0, w - 1.0)
+    yf = jnp.clip(y.reshape(-1), 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 2)
+    fx = (xf - x0)[:, None]
+    fy = (yf - y0)[:, None]
+
+    zero = jnp.zeros((), jnp.int32)
+    win = jax.vmap(
+        lambda yy, xx: jax.lax.dynamic_slice(img_c, (yy, xx, zero), (2, 2, c))
+    )(y0, x0)  # [M, 2, 2, C]
+    v00 = win[:, 0, 0]
+    v10 = win[:, 0, 1]
+    v01 = win[:, 1, 0]
+    v11 = win[:, 1, 1]
+    out = (v00 * (1 - fx) * (1 - fy) + v10 * fx * (1 - fy)
+           + v01 * (1 - fx) * fy + v11 * fx * fy)
+    return out.reshape(*shape, c)
+
+
+@jax.custom_jvp
+def sample_gradient_packed(gh: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """`sample_gradient` over a packed (Ix, Iy, Ixx, Ixy, Iyy) image.
+
+    Primal: bilinear (Ix, Iy) at (x, y) -> (..., 2). JVP w.r.t. (x, y)
+    routes through the smoothed image Hessian channels exactly like
+    :func:`sample_gradient` (reference `lib/gauss_newton_step.cc:195-207`),
+    but primal and Hessian values share one windowed gather.
+    """
+    return sample_window(gh, x, y)[..., :2]
+
+
+@sample_gradient_packed.defjvp
+def _sample_gradient_packed_jvp(primals, tangents):
+    gh, x, y = primals
+    _, dx, dy = tangents
+    vals = sample_window(gh, x, y)  # [..., 5]
+    out = vals[..., :2]
+    hxx = vals[..., 2]
+    hxy = vals[..., 3]
+    hyy = vals[..., 4]
+    dx = jnp.zeros_like(x) if isinstance(dx, jax.custom_derivatives.SymbolicZero) else dx
+    dy = jnp.zeros_like(y) if isinstance(dy, jax.custom_derivatives.SymbolicZero) else dy
+    d0 = hxx * dx + hxy * dy
+    d1 = hxy * dx + hyy * dy
+    return out, jnp.stack([d0, d1], axis=-1)

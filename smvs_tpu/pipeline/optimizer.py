@@ -63,8 +63,10 @@ def _build_viewset(
     dtype,
 ) -> gn.ViewSet:
     mi = main.at_scale(scale)
-    sub_grad = jnp.stack([s.at_scale(scale).grad for s in subs])
-    sub_hess = jnp.stack([s.at_scale(scale).hess for s in subs])
+    sub_gh = jnp.stack([
+        iops.pack_gradhess(s.at_scale(scale).grad.astype(dtype),
+                           s.at_scale(scale).hess.astype(dtype))
+        for s in subs])
     Ms, ts = [], []
     for s in subs:
         M, t = main.camera.fill_reprojection(
@@ -77,8 +79,7 @@ def _build_viewset(
         shading_image, shading_grad = main.shading_images()
     return gn.ViewSet(
         grad_main=mi.grad.astype(dtype),
-        sub_grad=sub_grad.astype(dtype),
-        sub_hess=sub_hess.astype(dtype),
+        sub_gh=sub_gh,
         M=jnp.asarray(np.stack(Ms), dtype),
         t=jnp.asarray(np.stack(ts), dtype),
         flen=jnp.asarray(main.flen(), dtype),
@@ -164,9 +165,12 @@ def compute_visibility(
     N = view.M.shape[0]
     H, W = surf.height, surf.width
     dtype = surf.nodes.dtype
-    sub_h, sub_w = view.sub_grad.shape[-2:]
+    sub_h, sub_w = view.sub_gh.shape[1:3]
 
     # ---- pass 1: min-depth z-buffer per neighbor over all valid pixels ----
+    # Each point splats a 3x3 footprint; scattering only the center and
+    # min-pooling the buffer afterwards is equivalent (min over a window of
+    # scattered centers) and does 1 scatter instead of 9.
     ys, xs = jnp.mgrid[0:H, 0:W]
     u_img = xs.astype(dtype) + 0.5
     v_img = ys.astype(dtype) + 0.5
@@ -189,20 +193,30 @@ def compute_visibility(
             cx = jnp.clip(pxl.astype(jnp.int32), 1, sub_w - 2)
             cy = jnp.clip(pyl.astype(jnp.int32), 1, sub_h - 2)
             vals = jnp.where(ok, d, big).reshape(-1)
-            out = cache_n
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    idx = ((cy + dy) * (sub_w + 1) + (cx + dx)).reshape(-1)
-                    out = out.at[idx].min(vals)
-            return out
+            idx = (cy * (sub_w + 1) + cx).reshape(-1)
+            return cache_n.at[idx].min(vals)
 
         cache = jax.vmap(scatter_one)(cache, view.M, view.t)
     cache = cache.reshape(N, sub_h + 1, sub_w + 1)
+
+    def min_pool3(c):
+        cp = jnp.pad(c, ((0, 0), (1, 1), (0, 0)), constant_values=np.inf)
+        c = jnp.minimum(jnp.minimum(cp[:, :-2], cp[:, 1:-1]), cp[:, 2:])
+        cp = jnp.pad(c, ((0, 0), (0, 0), (1, 1)), constant_values=np.inf)
+        return jnp.minimum(jnp.minimum(cp[:, :, :-2], cp[:, :, 1:-1]),
+                           cp[:, :, 2:])
+
+    # 3x3 min-pool = the splat footprint; the second pool folds in the
+    # patch test's own 3x3 window min so the test needs ONE lookup.
+    cache = min_pool3(min_pool3(cache))
 
     # ---- pass 2: per-patch tests -----------------------------------------
     u, v = _patch_pixel_grids(surf)
     w, wdx, wdy = _patch_depths_and_derivs(surf)
     cutoff = 0.03 * max(sub_w, sub_h)
+    # (u, v) are exact pixel centers, so the main-view values come from
+    # static slicing, not interpolation.
+    main_vals = gn.extract_patch_pixels(main_image, surf)  # [ny, nx, P]
 
     def per_neighbor(M, t, cache_n, sub_img):
         proj, d = corr.warp(M, t, u, v, w)  # [ny, nx, P, 2]
@@ -214,10 +228,7 @@ def compute_visibility(
 
         cx = jnp.clip(pxl.astype(jnp.int32), 1, sub_w - 2)
         cy = jnp.clip(pyl.astype(jnp.int32), 1, sub_h - 2)
-        nb_min = jnp.full(cx.shape, big, dtype)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                nb_min = jnp.minimum(nb_min, cache_n[cy + dy, cx + dx])
+        nb_min = cache_n[cy, cx]  # cache is double-min-pooled (see above)
         occluded = (d * 0.95 > nb_min).any(axis=-1)
 
         jac = corr.warp_jacobian(M, t, u, v, w, wdx, wdy)
@@ -225,7 +236,6 @@ def compute_visibility(
 
         # NCC (reference :577-580, used when SGM is off): normalized
         # correlation of main vs warped neighbor intensities over the patch.
-        main_vals = iops.bilinear(main_image, u - 0.5, v - 0.5)
         sub_vals = iops.bilinear(sub_img, pxl, pyl)
         m0 = main_vals - main_vals.mean(axis=-1, keepdims=True)
         m1 = sub_vals - sub_vals.mean(axis=-1, keepdims=True)
@@ -345,18 +355,17 @@ def patch_mse(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray) -> jnp.ndarra
     """Mean photometric-gradient error per patch (reference :747-790)."""
     u, v = _patch_pixel_grids(surf)
     w, wdx, wdy = _patch_depths_and_derivs(surf)
-    px, py = gn._patch_pixel_coords(surf, sampling=1)
-    gm = gn._gather_image_at(view.grad_main, px, py)  # [ny, nx, P, 2]
+    gm = gn.extract_patch_pixels(view.grad_main, surf)  # [ny, nx, P, 2]
 
-    def per_n(M, t, g_img, h_img):
+    def per_n(M, t, gh_img):
         proj, _ = corr.warp(M, t, u, v, w)
         jac = corr.warp_jacobian(M, t, u, v, w, wdx, wdy)
-        gs = iops.sample_gradient(g_img, h_img, proj[..., 0] - 0.5,
-                                  proj[..., 1] - 0.5)
+        gs = iops.sample_gradient_packed(gh_img, proj[..., 0] - 0.5,
+                                         proj[..., 1] - 0.5)
         jg = jnp.einsum("...ij,...i->...j", jac, gs)
         return jnp.linalg.norm(gm - jg, axis=-1)  # [ny, nx, P]
 
-    err = jax.vmap(per_n)(view.M, view.t, view.sub_grad, view.sub_hess)
+    err = jax.vmap(per_n)(view.M, view.t, view.sub_gh)
     err = jnp.moveaxis(err, 0, -1)  # [ny, nx, P, N]
     mask = vis[:, :, None, :].astype(err.dtype)
     total = (err * mask).sum((-1, -2))
@@ -375,8 +384,7 @@ def patch_tex_score(surf: S.Surface, main_image: jnp.ndarray) -> jnp.ndarray:
     reference `DepthOptimizer::tex_score_for_patch` (:914-955). Returns
     [ny, nx]; 0 for patches darker than the 0.05 mean-intensity gate.
     """
-    px, py = gn._patch_pixel_coords(surf, sampling=1)
-    vals = gn._gather_image_at(main_image[None], px, py)[..., 0]  # [ny,nx,P]
+    vals = gn.extract_patch_pixels(main_image, surf)  # [ny, nx, P]
     mean = vals.mean(axis=-1, keepdims=True)
     score = jnp.abs(vals - mean).mean(axis=-1)
     return jnp.where(mean[..., 0] >= 0.05, score, 0.0)

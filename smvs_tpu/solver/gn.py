@@ -42,13 +42,14 @@ R_FACTOR = 1e-4  # IRLS-L1 floor, reference `lib/gauss_newton_step.cc:17`
 class ViewSet(NamedTuple):
     """Per-view data at the current scale, device-resident.
 
-    grad_main / hess_main from the blurred main image; sub_* stacked over the
-    (padded) neighbor axis. ``shading_*`` are None unless shading is active.
+    grad_main from the blurred main image; ``sub_gh`` packs each neighbor's
+    gradient + Hessian channels (Ix, Iy, Ixx, Ixy, Iyy) channels-last so a
+    warped sample is one windowed gather (`iops.sample_gradient_packed`).
+    ``shading_*`` are None unless shading is active.
     """
 
     grad_main: jnp.ndarray  # [2, H, W]
-    sub_grad: jnp.ndarray  # [N, 2, H, W]
-    sub_hess: jnp.ndarray  # [N, 3, H, W]
+    sub_gh: jnp.ndarray  # [N, H, W, 5]
     M: jnp.ndarray  # [N, 3, 3]
     t: jnp.ndarray  # [N, 3]
     flen: jnp.ndarray  # scalar, pixels
@@ -102,6 +103,30 @@ def _gather_image_at(img: jnp.ndarray, px: np.ndarray, py: np.ndarray) -> jnp.nd
                         tuple(range(-(img.ndim - 2), 0)))
 
 
+def extract_patch_pixels(img: jnp.ndarray, surf: Surface, sampling: int = 1
+                         ) -> jnp.ndarray:
+    """img [C?, H, W] -> per-patch pixel values [ny, nx, P(, C)].
+
+    The patch grid tiles the image regularly (`_patch_pixel_coords`), so
+    this is pure static slicing + reshapes — no gather op. P follows the
+    same (row-outer, column-inner, stride=sampling) order as
+    `_patch_pixel_coords`.
+    """
+    ps = surf.patchsize
+    ny, nx = surf.num_patches_y, surf.num_patches_x
+    sy, sx = surf.start_y, surf.start_x
+    lead = img.shape[:-2]
+    region = img[..., sy : sy + ny * ps, sx : sx + nx * ps]
+    r = region.reshape(*lead, ny, ps, nx, ps)
+    r = r[..., ::sampling, :, ::sampling]
+    r = jnp.moveaxis(r, -3, -2)  # [..., ny, nx, ps/s, ps/s]
+    r = r.reshape(*lead, ny, nx, r.shape[-1] * r.shape[-2])
+    if lead:
+        r = jnp.moveaxis(r, tuple(range(len(lead))),
+                         tuple(range(-len(lead), 0)))
+    return r
+
+
 def _patch_residuals(
     vals: jnp.ndarray,  # [P, 6] per-pixel (w, dx, dy, dxy, dxx, dyy)
     pix_u: jnp.ndarray,  # [P] pixel centers (px + 0.5)
@@ -140,16 +165,17 @@ def _patch_residuals(
     dyy = vals[..., 5]
 
     # --- data terms: warped neighbor gradient vs main gradient -------------
-    def per_neighbor(M, t, grad_img, hess_img):
+    def per_neighbor(M, t, gh_img):
         proj, _ = corr.warp(M, t, pix_u, pix_v, w)
         jac = corr.warp_jacobian(M, t, pix_u, pix_v, w, wdx, wdy)  # [P,2,2]
-        gs = iops.sample_gradient(grad_img, hess_img,
-                                  proj[..., 0] - 0.5, proj[..., 1] - 0.5)
+        gs = iops.sample_gradient_packed(gh_img,
+                                         proj[..., 0] - 0.5,
+                                         proj[..., 1] - 0.5)
         # j_grad_sub = J^T grad (gradient of warped neighbor image in main
         # pixel coords), reference `lib/gauss_newton_step.cc:200`.
         return jnp.einsum("pij,pi->pj", jac, gs)
 
-    jg = jax.vmap(per_neighbor)(view.M, view.t, view.sub_grad, view.sub_hess)
+    jg = jax.vmap(per_neighbor)(view.M, view.t, view.sub_gh)
     # jg: [N, P, 2]
     diffs = jg - grad_main[None, :, :]  # [N, P, 2]
 
@@ -314,7 +340,8 @@ def assemble(
     px, py = _patch_pixel_coords(surf, sampling)
 
     params = patch_params(surf).reshape(ny * nx, 16)
-    gm = _gather_image_at(view.grad_main, px, py).reshape(ny * nx, -1, 2)
+    gm = extract_patch_pixels(view.grad_main, surf, sampling).reshape(
+        ny * nx, -1, 2)
     pix_u = jnp.asarray(px.reshape(ny * nx, -1) + 0.5, surf.nodes.dtype)
     pix_v = jnp.asarray(py.reshape(ny * nx, -1) + 0.5, surf.nodes.dtype)
     vis_f = vis.astype(surf.nodes.dtype).reshape(ny * nx, -1)
