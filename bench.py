@@ -89,7 +89,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    dim = int(os.environ.get("SMVS_BENCH_DIM", "360"))
+    # Default to ~2MP: the reference's documented working resolution
+    # (`app/smvsrecon.cc:48` max_pixels=1.7e6, README "around 2MP").
+    dim = int(os.environ.get("SMVS_BENCH_DIM", "1440"))
     min_scale = int(os.environ.get("SMVS_BENCH_MIN_SCALE", "2"))
     log(f"bench: devices={jax.devices()} dim={dim} min_scale={min_scale}")
 

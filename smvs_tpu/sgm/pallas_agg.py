@@ -1,18 +1,28 @@
-"""Pallas TPU kernel for SGM path-cost aggregation.
+"""Pallas TPU kernels for SGM path-cost aggregation.
 
 The 8-direction min-plus recurrence is the reference's hottest loop
-(`lib/sgm_stereo.cc:429-667`, SSE inner kernel :361-406). Here one scan
-direction is a single Pallas program: the grid walks scan positions, the
-carried previous line lives in VMEM scratch (persistent across grid steps),
-and the depth axis sits in the 128-lane dimension — the layout the TPU VPU
+(`lib/sgm_stereo.cc:429-667`, SSE inner kernel :361-406). Two designs live
+here:
+
+- `scan_direction`: one direction per `pallas_call` (the original kernel,
+  kept as the readable spec and for single-direction parity tests).
+- `aggregate`: the production path — FOUR fused passes instead of eight:
+  horizontal forward/backward (1 path each) and vertical forward/backward
+  (vertical + both diagonals = 3 paths per pass, three carried lines in
+  VMEM scratch). All work is int16 (census Hamming costs are <= 126 and an
+  aggregated path cost is <= cost + P2 <= 222, so the 8-path sum <= 1776),
+  halving HBM traffic of the memory-bound volume; scan reversal and the
+  line/scan-axis choice are expressed through BlockSpec index maps so no
+  flipped or transposed copy of the [H, W, D] volume is ever materialized;
+  and the running 8-path total is accumulated in-kernel through an
+  input/output-aliased accumulator, so each pass reads the raw cost volume
+  once and read-modify-writes the accumulator once.
+
+The depth axis sits in the 128-lane dimension — the layout the TPU VPU
 wants. Diagonal paths shift the carried line by one in the perpendicular
 axis per step, restarting at the shifted-in border like the reference's
-border initialization.
-
-`aggregate(cost, intensity, p1, p2)` sums all 8 directions by flipping /
-transposing the volume and reusing the same kernel; it is a drop-in
-replacement for `smvs_tpu.sgm.stereo.aggregate` (validated against it in
-tests, including in interpreter mode on CPU).
+border initialization. Validated against `smvs_tpu.sgm.stereo.aggregate`
+in tests, including in interpreter mode on CPU.
 """
 
 from __future__ import annotations
@@ -107,27 +117,168 @@ def scan_direction(cost: jnp.ndarray, intensity: jnp.ndarray, shift: int,
     return jnp.moveaxis(out, 0, 1)
 
 
+# ---------------------------------------------------------------------------
+# Fused multi-path passes
+# ---------------------------------------------------------------------------
+
+
+def _min_plus(prev, cost, p1: int, p2a, big):
+    """new = cost + min(prev, prev<<1 + P1, prev>>1 + P1, min+P2) - min."""
+    up = jnp.concatenate([prev[:, 1:], jnp.full_like(prev[:, :1], big)],
+                         axis=1)
+    dn = jnp.concatenate([jnp.full_like(prev[:, :1], big), prev[:, :-1]],
+                         axis=1)
+    min_prev = jnp.min(prev, axis=1, keepdims=True)
+    upd = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, dn) + p1),
+                      min_prev + p2a)
+    return cost + upd - min_prev
+
+
+def _fused_kernel(reverse: bool, xb: int, shifts: tuple, p1: int,
+                  cost_ref, p2a_ref, acc_ref, out_ref, *prev_refs):
+    """xb scan positions per grid step; len(shifts) paths carried at once.
+
+    The scan always walks the LEADING axis (the caller transposes the
+    volume once for horizontal passes), so every per-position slice
+    `ref[j]` is a contiguous [L, D] tile — no middle-axis relayouts, which
+    Mosaic compiles pathologically slowly at real image sizes. Blocks:
+    cost/acc/out int16 [xb, L, D]; p2a int32 [xb, L, len(shifts)] with the
+    adaptive-P2 penalties precomputed by the caller in scan order (the
+    intensity math needs no path state, so it costs one cheap XLA pass
+    instead of per-step VPU work). Scratch: one int32 [L, D] carried line
+    per path. out = acc + sum of the per-path updates.
+
+    Border restarts for diagonal paths are free: a carried line set to the
+    uniform BIG yields new = cost + BIG - BIG = cost, exactly the restart
+    value, so no select is needed after the min-plus update. Arithmetic is
+    int32 in-register (v5e Mosaic has no 16-bit rotates/reductions, and
+    VPU lanes are 32-bit so this costs nothing); int16 is purely the HBM
+    storage format.
+    """
+    x = pl.program_id(0)
+    js = range(xb - 1, -1, -1) if reverse else range(xb)
+
+    def load(j):
+        return cost_ref[j].astype(jnp.int32), acc_ref[j].astype(jnp.int32)
+
+    def store(j, val):
+        out_ref[j] = val.astype(out_ref.dtype)
+
+    def init(j):
+        cost, acc = load(j)
+        store(j, acc + cost * len(shifts))
+        for pr in prev_refs:
+            pr[:] = cost
+
+    def step(j):
+        cost, acc = load(j)
+        total = acc
+        for k, (shift, pr) in enumerate(zip(shifts, prev_refs)):
+            prev = pr[:]
+            if shift:
+                L = prev.shape[0]
+                prev = pltpu.roll(prev, shift % L, axis=0)
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+                border = row_ids == (0 if shift > 0 else L - 1)
+                prev = jnp.where(border, BIG, prev)
+            new = _min_plus(prev, cost, p1, p2a_ref[j, :, k:k + 1], BIG)
+            pr[:] = new
+            total = total + new
+        store(j, total)
+
+    for k, j in enumerate(js):
+        if k == 0:
+            pl.when(x == 0)(lambda j=j: init(j))
+            pl.when(x > 0)(lambda j=j: step(j))
+        else:
+            step(j)
+
+
+def _adaptive_p2_planes(inten: jnp.ndarray, reverse: bool, shifts: tuple,
+                        p1: int, p2: int) -> jnp.ndarray:
+    """Precompute the adaptive P2 penalty [X, L, len(shifts)] in scan order.
+
+    Reference :314-319: P2 scaled by the inverse intensity difference of
+    the current pixel and the previous pixel ON THE PATH — i.e. the
+    previous scan line rolled by the path's diagonal shift.
+    """
+    prev = jnp.roll(inten, -1 if reverse else 1, axis=0)
+    planes = []
+    for shift in shifts:
+        pi = jnp.roll(prev, shift, axis=1) if shift else prev
+        diff = jnp.abs(inten - pi) + 1
+        planes.append(jnp.maximum(p1 * 3 // 2, p2 // diff))
+    return jnp.stack(planes, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "shifts", "p1", "p2", "interpret"))
+def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
+                reverse: bool, shifts: tuple, p1: int, p2: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """One scan sweep of len(shifts) paths, accumulated into `acc`.
+
+    cost/acc: [X, L, D] int16, scanned along the leading axis X (lines are
+    along L). inten: [X, L] int32 in the same orientation.
+    """
+    X, L, D = cost.shape
+    # One scan position per grid step: Mosaic stack-allocates every live
+    # [L, D] temporary of the (unrolled) body, so at 2MP line sizes the
+    # body must stay minimal to fit the 16MB VMEM budget.
+    xb = 1
+    nblk = X // xb
+
+    def idx(x):
+        return nblk - 1 - x if reverse else x
+
+    p2a = _adaptive_p2_planes(inten, reverse, shifts, p1, p2)
+
+    vol_spec = pl.BlockSpec((xb, L, D), lambda x: (idx(x), 0, 0),
+                            memory_space=pltpu.VMEM)
+    p2a_spec = pl.BlockSpec((xb, L, len(shifts)), lambda x: (idx(x), 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, reverse, xb, shifts, p1),
+        grid=(nblk,),
+        in_specs=[vol_spec, p2a_spec, vol_spec],
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct(cost.shape, cost.dtype),
+        scratch_shapes=[pltpu.VMEM((L, D), jnp.int32) for _ in shifts],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(cost, p2a, acc)
+
+
 def aggregate(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int, p2: int,
               interpret: bool = False) -> jnp.ndarray:
-    """All 8 SGM paths via the Pallas scan kernel.
+    """All 8 SGM paths in four fused int16 passes.
 
-    cost: [H, W, D] int32; intensity [H, W]. Same contract as
-    `smvs_tpu.sgm.stereo.aggregate`.
+    cost: [H, W, D] integer census costs (values <= 255); intensity [H, W].
+    Same contract as `smvs_tpu.sgm.stereo.aggregate`; returns the 8-path
+    sum as int16 (bounded by 8 * (max cost + P2) < 2^15).
     """
+    H, W, D = cost.shape
+    c16 = cost.astype(jnp.int16)
     inten = intensity.astype(jnp.int32)
-    total = jnp.zeros_like(cost)
-
-    def run(c, i, shift):
-        return scan_direction(c, i, shift, p1, p2, interpret)
-
-    # Horizontal: scan over x, lines = rows.
-    total = total + run(cost, inten, 0)
-    total = total + run(cost[:, ::-1], inten[:, ::-1], 0)[:, ::-1]
-    # Vertical + diagonals: scan over y, lines = columns.
-    cv = jnp.swapaxes(cost, 0, 1)  # lines = W, scan axis = H
-    iv = jnp.swapaxes(inten, 0, 1)
-    for shift in (0, 1, -1):
-        total = total + jnp.swapaxes(run(cv, iv, shift), 0, 1)
-        total = total + jnp.swapaxes(
-            run(cv[:, ::-1], iv[:, ::-1], shift)[:, ::-1], 0, 1)
-    return total
+    # Pad H/W to multiples of 8 (TPU block-shape constraint). Uniform-valued
+    # padding is exactly a scan restart for the min-plus recurrence — a
+    # uniform previous line contributes cost + c - c = cost — so results in
+    # the real region are unchanged.
+    ph, pw = (-H) % 8, (-W) % 8
+    if ph or pw:
+        c16 = jnp.pad(c16, ((0, ph), (0, pw), (0, 0)))
+        inten = jnp.pad(inten, ((0, ph), (0, pw)))
+    # Horizontal: scan over x, lines = rows, straight path only. The volume
+    # is transposed once so the scan walks the leading axis (one ~ms-scale
+    # XLA transpose instead of per-block relayouts inside the kernel).
+    ct = jnp.swapaxes(c16, 0, 1)  # [W, H, D]
+    it = inten.T
+    acc_t = _fused_pass(ct, it, jnp.zeros_like(ct), False, (0,), p1, p2,
+                        interpret)
+    acc_t = _fused_pass(ct, it, acc_t, True, (0,), p1, p2, interpret)
+    # Vertical + both diagonals: scan over y, lines = columns.
+    acc = jnp.swapaxes(acc_t, 0, 1)
+    acc = _fused_pass(c16, inten, acc, False, (0, 1, -1), p1, p2, interpret)
+    acc = _fused_pass(c16, inten, acc, True, (0, 1, -1), p1, p2, interpret)
+    return acc[:H, :W] if (ph or pw) else acc
