@@ -404,7 +404,29 @@ def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
     )
     s = surf
     act = active & s.node_valid
-    g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
+
+    # Working-set assembly: a patch enters the system only via active
+    # corner nodes, so once the active set shrinks (reprojection-delta
+    # criterion below) most patches contribute exactly nothing. Pick the
+    # smallest compaction tier the current active set fits (lax.cond picks
+    # ONE branch at runtime); each tier is exact, not an approximation.
+    B = s.num_patches_y * s.num_patches_x
+    if B >= 4096:
+        ca = (act[:-1, :-1] | act[:-1, 1:]
+              | act[1:, :-1] | act[1:, 1:]) & s.patch_valid
+        n_sel = jnp.sum(ca)
+
+        def asm(cap):
+            return lambda _: gn.assemble(s, view, vis, act, gn_opts,
+                                         lighting, capacity=cap)
+
+        g, Hb = jax.lax.cond(
+            n_sel <= B // 16, asm(B // 16),
+            lambda _: jax.lax.cond(n_sel <= B // 4, asm(B // 4),
+                                   asm(None), None),
+            None)
+    else:
+        g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
     P = stencil.block_jacobi_inverse(Hb, act)
     gnorm = jnp.linalg.norm(g.reshape(-1))
     res = cg.solve(

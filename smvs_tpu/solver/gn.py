@@ -66,6 +66,11 @@ class GNOptions:
     # patch size — big enough to fill the chip, small enough to bound the
     # Jacobian workspace.
     chunk: int = 4096
+    # Closed-form value-space Jacobians for the data terms (reference
+    # `lib/correspondence.cc:53-187`) instead of a 6-seed jax.linearize
+    # through the residual graph. Same math; ~3x fewer ops per pixel.
+    # The autodiff path remains as the independently-verified oracle.
+    analytic: bool = True
 
 
 def _sampling_for_scale(scale: int) -> int:
@@ -192,6 +197,7 @@ def _patch_residuals(
     res.append(div)  # [P, 6]
 
     # --- shading term -------------------------------------------------------
+    shading = lin_grad = lin_val = shading_res = None
     if lighting is not None:
         inv_flen = 1.0 / view.flen
         normal = nrm.normal(xc, yc, inv_flen, w, wdx, wdy)  # [P, 3]
@@ -230,7 +236,23 @@ def _patch_residuals(
     if not want_weights:
         return residuals
 
-    # --- IRLS / term weights (constants for the GN step) --------------------
+    weights = _residual_weights(
+        diffs, subdiffs if pair_idx else None, div, grad_main, vis, lighting,
+        opts, dtype, pix_u.shape[0], pair_idx, shading=shading,
+        lin_grad=lin_grad, lin_val=lin_val, shading_res=shading_res)
+    return residuals, weights
+
+
+def _residual_weights(diffs, subdiffs, div, grad_main, vis, lighting, opts,
+                      dtype, n_pix, pair_idx, shading=None, lin_grad=None,
+                      lin_val=None, shading_res=None):
+    """IRLS / term weights (constants for the GN step).
+
+    Shared by the autodiff and analytic assembly paths; see
+    reference `lib/gauss_newton_step.cc:334-418` (data/regularizer) and
+    :420-516 (shading).
+    """
+    n_sub = diffs.shape[0]
     num_subs = jnp.sum(vis)
     num_diffs = num_subs * (num_subs + 1.0) / 2.0
     wts = []
@@ -269,10 +291,9 @@ def _patch_residuals(
             R_FACTOR + jnp.abs(shading_res))
         wts.append(sh_w)
     else:
-        wts.append(jnp.zeros((pix_u.shape[0], 2), dtype=dtype))
+        wts.append(jnp.zeros((n_pix, 2), dtype=dtype))
 
-    weights = jnp.concatenate(wts, axis=-1)
-    return residuals, weights
+    return jnp.concatenate(wts, axis=-1)
 
 
 def _nan0(x):
@@ -320,6 +341,192 @@ def patch_grad_hessian(
     return g, H
 
 
+def _data_term_analytic(M, t, gh_img, u, v, w, wdx, wdy):
+    """Warped-gradient data term for ONE neighbor, with closed-form
+    value-space derivatives.
+
+    Mirrors the reference's hand-derived chain (`lib/correspondence.cc:
+    53-187`, consumed at `lib/gauss_newton_step.cc:183-207`): quotient-rule
+    derivatives of the reprojection and its 2x2 warp Jacobian, with the
+    image-sampling derivative routed through the precomputed image Hessian
+    channels. One packed 5-channel gather serves values and derivatives.
+
+    Returns (jg [P, 2], d_jg/dw [P, 2], S [P]) where
+    jg = J^T grad_sub, S = d jg_x/d wdx = d jg_y/d wdy (the only other
+    nonzero value-space columns; d jg/d(dxy, dxx, dyy) = 0).
+    """
+    p = M[0, 0] * u + M[0, 1] * v + M[0, 2]
+    q = M[1, 0] * u + M[1, 1] * v + M[1, 2]
+    r = M[2, 0] * u + M[2, 1] * v + M[2, 2]
+    a = w * p + t[0]
+    b = w * q + t[1]
+    d = w * r + t[2]
+    e = 1.0 / d
+    e2 = e * e
+
+    vals5 = iops.sample_window(gh_img, a * e - 0.5, b * e - 0.5)  # [P, 5]
+    gs0 = vals5[..., 0]
+    gs1 = vals5[..., 1]
+    hxx = vals5[..., 2]
+    hxy = vals5[..., 3]
+    hyy = vals5[..., 4]
+
+    # d proj / d w (reference `Correspondence::get_derivative`).
+    gu = (p - r * a * e) * e
+    gv = (q - r * b * e) * e
+
+    # 2x2 warp Jacobian (reference :89-100).
+    A_u = wdx * p + w * M[0, 0]
+    A_v = wdy * p + w * M[0, 1]
+    B_u = wdx * q + w * M[1, 0]
+    B_v = wdy * q + w * M[1, 1]
+    D_u = wdx * r + w * M[2, 0]
+    D_v = wdy * r + w * M[2, 1]
+    j00 = (A_u - a * D_u * e) * e
+    j01 = (A_v - a * D_v * e) * e
+    j10 = (B_u - b * D_u * e) * e
+    j11 = (B_v - b * D_v * e) * e
+
+    jg0 = j00 * gs0 + j10 * gs1
+    jg1 = j01 * gs0 + j11 * gs1
+
+    # d J / d w: quotient-rule second derivatives (reference :102-187).
+    dj00 = (M[0, 0] - (A_u * r + p * D_u + a * M[2, 0]) * e
+            + 2.0 * a * r * D_u * e2) * e
+    dj01 = (M[0, 1] - (A_v * r + p * D_v + a * M[2, 1]) * e
+            + 2.0 * a * r * D_v * e2) * e
+    dj10 = (M[1, 0] - (B_u * r + q * D_u + b * M[2, 0]) * e
+            + 2.0 * b * r * D_u * e2) * e
+    dj11 = (M[1, 1] - (B_v * r + q * D_v + b * M[2, 1]) * e
+            + 2.0 * b * r * D_v * e2) * e
+
+    # d grad_sub / d w through the image Hessian (reference :195-207).
+    dgs0 = hxx * gu + hxy * gv
+    dgs1 = hxy * gu + hyy * gv
+
+    djg0_dw = dj00 * gs0 + dj10 * gs1 + j00 * dgs0 + j10 * dgs1
+    djg1_dw = dj01 * gs0 + dj11 * gs1 + j01 * dgs0 + j11 * dgs1
+    # d J / d wdx zeroes all but the first column (= dproj/dw), so
+    # d jg_x / d wdx = d jg_y / d wdy = gu*gs0 + gv*gs1, the rest vanish.
+    S = gu * gs0 + gv * gs1
+
+    jg = jnp.stack([jg0, jg1], axis=-1)
+    djg_dw = jnp.stack([djg0_dw, djg1_dw], axis=-1)
+    return jg, djg_dw, S
+
+
+def patch_grad_hessian_analytic(
+    params16, pix_u, pix_v, grad_main, vis, patch_ok, view, basis, lighting,
+    opts, width, height,
+):
+    """(g [16], H [16,16]) for one patch — closed-form Jacobian path.
+
+    Same contract and math as :func:`patch_grad_hessian`, but the
+    value-space Jacobian J6 [C, 6] is built directly: analytic columns for
+    the data/pair terms (the deep chain through warp + sampling) and
+    `jacfwd` only for the shallow regularizer / shading residuals. This
+    collapses the dominant cost of assembly — a ~350-op autodiff graph per
+    pixel — into ~100 fused ops.
+    """
+    dtype = params16.dtype
+    n_sub = view.M.shape[0]
+    params_safe = jnp.where(patch_ok, params16,
+                            jnp.zeros_like(params16).at[0::4].set(1.0))
+    vals = jnp.einsum("pkm,m->pk", basis, params_safe)  # [P, 6]
+    w = vals[..., 0]
+    wdx = vals[..., 1]
+    wdy = vals[..., 2]
+
+    jg, djg_dw, S = jax.vmap(
+        lambda M, t, gh: _data_term_analytic(M, t, gh, pix_u, pix_v,
+                                             w, wdx, wdy)
+    )(view.M, view.t, view.sub_gh)  # [N, P, 2], [N, P, 2], [N, P]
+
+    P_pix = pix_u.shape[0]
+    zeros_p = jnp.zeros((P_pix,), dtype)
+
+    def data_cols(dw, s):
+        # value-space Jacobian rows for the channel pair (x, y) of one
+        # neighbor-difference: [P, 2, 6]
+        cx = jnp.stack([dw[..., 0], s, zeros_p, zeros_p, zeros_p, zeros_p],
+                       axis=-1)
+        cy = jnp.stack([dw[..., 1], zeros_p, s, zeros_p, zeros_p, zeros_p],
+                       axis=-1)
+        return jnp.stack([cx, cy], axis=-2)
+
+    res = [jnp.moveaxis(jg - grad_main[None], 0, 1).reshape(P_pix, -1)]
+    j6 = [jnp.concatenate([data_cols(djg_dw[n], S[n]) for n in range(n_sub)],
+                          axis=-2)]
+    diffs = jg - grad_main[None]
+
+    pair_idx = [(x, y) for x in range(n_sub) for y in range(x + 1, n_sub)]
+    subdiffs = None
+    if pair_idx:
+        subdiffs = jnp.stack([jg[x] - jg[y] for x, y in pair_idx], axis=1)
+        res.append(subdiffs.reshape(P_pix, -1))
+        j6.append(jnp.concatenate(
+            [data_cols(djg_dw[x] - djg_dw[y], S[x] - S[y])
+             for x, y in pair_idx], axis=-2))
+
+    # --- regularizer (shallow graph: jacfwd) --------------------------------
+    xc = pix_u - width / 2.0
+    yc = pix_v - height / 2.0
+
+    def div_fn(v, xc_, yc_):
+        return nrm.normal_divergence(xc_, yc_, view.flen, v[0], v[1], v[2],
+                                     v[3], v[4], v[5])
+
+    div = nrm.normal_divergence(xc, yc, view.flen, w, wdx, wdy,
+                                vals[..., 3], vals[..., 4], vals[..., 5])
+    res.append(div)
+    j6.append(jax.vmap(jax.jacfwd(div_fn))(vals, xc, yc))  # [P, 6, 6]
+
+    # --- shading term (shallow graph: jacfwd) -------------------------------
+    shading = lin_grad = lin_val = shading_res = None
+    if lighting is not None:
+        inv_flen = 1.0 / view.flen
+        lin_grad = _nan0(jnp.stack(
+            [iops.bilinear(view.shading_grad[0], pix_u - 0.5, pix_v - 0.5),
+             iops.bilinear(view.shading_grad[1], pix_u - 0.5, pix_v - 0.5)],
+            axis=-1))
+        lin_val = iops.bilinear(view.shading_image, pix_u - 0.5, pix_v - 0.5)
+        lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
+        lin_term = lin_grad / lin_safe[:, None]
+
+        def sh_fn(v, xc_, yc_, lt):
+            dv = nrm.normal_divergence(xc_, yc_, view.flen, v[0], v[1],
+                                       v[2], v[3], v[4], v[5])
+            normal = nrm.normal(xc_, yc_, inv_flen, v[0], v[1], v[2])
+            sh_jac = jax.jacfwd(shmod.eval_4_band)(
+                jax.lax.stop_gradient(normal))  # [16, 3]
+            sh_val = jnp.einsum("l,l->", lighting, shmod.eval_4_band(normal))
+            coef = jnp.einsum("l,lk->k", lighting.at[0].set(0.0), sh_jac)
+            sgrad = jnp.stack([coef @ dv[0:3], coef @ dv[3:6]])
+            safe = jnp.where(jnp.abs(sh_val) < 1e-10, 1.0, sh_val)
+            return sgrad / safe - lt, sh_val
+
+        shading_res, shading = jax.vmap(sh_fn)(vals, xc, yc, lin_term)
+        res.append(shading_res)
+        j6.append(jax.vmap(jax.jacfwd(sh_fn))(vals, xc, yc, lin_term)[0])
+    else:
+        res.append(jnp.zeros((P_pix, 2), dtype))
+        j6.append(jnp.zeros((P_pix, 2, 6), dtype))
+
+    residuals = _nan0(jnp.concatenate(res, axis=-1))
+    J6 = _nan0(jnp.concatenate(j6, axis=-2))  # [P, C, 6]
+    weights = _residual_weights(
+        diffs, subdiffs, div, grad_main, vis, lighting, opts, dtype, P_pix,
+        pair_idx, shading=shading, lin_grad=lin_grad, lin_val=lin_val,
+        shading_res=shading_res)
+    weights = jax.lax.stop_gradient(weights) * patch_ok
+
+    A = jnp.einsum("pck,pc,pcl->pkl", J6, weights, J6)  # [P, 6, 6]
+    b = jnp.einsum("pck,pc->pk", J6, weights * residuals)  # [P, 6]
+    H = jnp.einsum("pkm,pkl,pln->mn", basis, A, basis)
+    g = jnp.einsum("pkm,pk->m", basis, b)
+    return g, H
+
+
 def assemble(
     surf: Surface,
     view: ViewSet,
@@ -327,12 +534,15 @@ def assemble(
     active: jnp.ndarray,  # [ny+1, nx+1] bool active nodes
     opts: GNOptions,
     lighting: jnp.ndarray | None = None,
+    capacity: int | None = None,
 ):
     """Build the stencil normal equations for one Newton step.
 
     Returns (g [ny+1, nx+1, 4], Hb [ny+1, nx+1, 3, 3, 4, 4]).
     Counterpart of `GaussNewtonStep::construct`
-    (reference `lib/gauss_newton_step.cc:33-143`).
+    (reference `lib/gauss_newton_step.cc:33-143`). With `capacity` set,
+    only patches touching an active node are assembled, through a
+    fixed-size compaction buffer (exact — see below).
     """
     ny, nx = surf.num_patches_y, surf.num_patches_x
     sampling = _sampling_for_scale(surf.scale)
@@ -348,27 +558,55 @@ def assemble(
     patch_ok = (surf.patch_valid.reshape(-1) & (vis.reshape(ny * nx, -1).sum(-1) > 0)
                 ).astype(surf.nodes.dtype)
 
-    fn = partial(patch_grad_hessian, view=view, basis=basis, lighting=lighting,
+    kernel = patch_grad_hessian_analytic if opts.analytic else patch_grad_hessian
+    fn = partial(kernel, view=view, basis=basis, lighting=lighting,
                  opts=opts, width=surf.width, height=surf.height)
     vfn = jax.vmap(fn)
 
     B = ny * nx
     P_pix = pix_u.shape[1]
-    chunk = max(1, min(opts.chunk, B, (opts.chunk * 16) // max(P_pix, 1)))
-    pad = (-B) % chunk
 
-    def padded(x):
-        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
-            (B + pad) // chunk, chunk, *x.shape[1:]
+    def run_batch(params, pix_u, pix_v, gm, vis_f, patch_ok):
+        nb = params.shape[0]
+        chunk = max(1, min(opts.chunk, nb, (opts.chunk * 16) // max(P_pix, 1)))
+        pad = (-nb) % chunk
+
+        def padded(x):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
+                (nb + pad) // chunk, chunk, *x.shape[1:]
+            )
+
+        gs, Hs = jax.lax.map(
+            lambda args: vfn(*args),
+            (padded(params), padded(pix_u), padded(pix_v), padded(gm),
+             padded(vis_f), padded(patch_ok)),
         )
+        return gs.reshape(nb + pad, 16)[:nb], Hs.reshape(nb + pad, 16, 16)[:nb]
 
-    gs, Hs = jax.lax.map(
-        lambda args: vfn(*args),
-        (padded(params), padded(pix_u), padded(pix_v), padded(gm),
-         padded(vis_f), padded(patch_ok)),
-    )
-    g_patch = gs.reshape(B + pad, 16)[:B].reshape(ny, nx, 16)
-    H_patch = Hs.reshape(B + pad, 16, 16)[:B].reshape(ny, nx, 16, 16)
+    if capacity is not None and capacity < B:
+        # Compacted working-set assembly: a patch contributes to the system
+        # only if one of its corner nodes is active (inactive nodes get zero
+        # rows/cols in `scatter_patch_systems`), so assembling just those
+        # patches is EXACT — the TPU analog of the reference re-assembling
+        # only active nodes (`lib/depth_optimizer.cc:291-303`). The caller
+        # guarantees (via lax.cond) that the selected count fits `capacity`.
+        ca = (active[:-1, :-1] | active[:-1, 1:]
+              | active[1:, :-1] | active[1:, 1:]) & surf.patch_valid
+        flat_sel = ca.reshape(-1)
+        total = jnp.sum(flat_sel)
+        idx = jnp.nonzero(flat_sel, size=capacity, fill_value=0)[0]
+        kvalid = (jnp.arange(capacity) < total).astype(surf.nodes.dtype)
+        gs, Hs = run_batch(params[idx], pix_u[idx], pix_v[idx], gm[idx],
+                           vis_f[idx], patch_ok[idx] * kvalid)
+        g_flat = jnp.zeros((B, 16), gs.dtype).at[idx].add(
+            gs * kvalid[:, None])
+        H_flat = jnp.zeros((B, 16, 16), Hs.dtype).at[idx].add(
+            Hs * kvalid[:, None, None])
+    else:
+        g_flat, H_flat = run_batch(params, pix_u, pix_v, gm, vis_f, patch_ok)
+
+    g_patch = g_flat.reshape(ny, nx, 16)
+    H_patch = H_flat.reshape(ny, nx, 16, 16)
 
     from smvs_tpu.solver import stencil
 
