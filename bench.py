@@ -32,7 +32,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_once(dim, min_scale):
+def run_once(dim, min_scale, verbose=True):
     import jax.numpy as jnp
     import numpy as np
 
@@ -72,7 +72,7 @@ def run_once(dim, min_scale):
         use_sgm=True, full_optimization=False,
     )
     result = O.optimize_view(main_v, [sub_v], opts, sgm_depth=sgm_depth,
-                             log=log)
+                             log=log if verbose else None)
     np.asarray(result.depth[0, 0])  # force (see above)
     t_opt = time.time() - t0
 
@@ -104,7 +104,8 @@ def main():
     log(f"warmup took {time.time()-t0:.1f}s")
 
     log("measured pass...")
-    t_sgm, t_opt, coverage, med_err = run_once(dim, min_scale)
+    # silent: per-scale logging costs device round-trips under the tunnel
+    t_sgm, t_opt, coverage, med_err = run_once(dim, min_scale, verbose=False)
     total = t_sgm + t_opt
     mps = (dim * dim / 1e6) / total
     log(f"sgm={t_sgm:.2f}s opt={t_opt:.2f}s coverage={coverage:.1%} "

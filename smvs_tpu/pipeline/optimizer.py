@@ -651,7 +651,7 @@ def run_newton_iterations(
         surf, vis = compute_visibility(surf, view, sgm_depth, opts.use_sgm,
                                        main_img, sub_imgs)
         surf, vis = cut_boundaries_loop(surf, view, vis, inv_cal)
-        vis.block_until_ready()
+        timer.sync(vis)
 
     sgm_arg = (sgm_depth if sgm_depth is not None
                else jnp.zeros((surf.height, surf.width), surf.nodes.dtype))
@@ -659,7 +659,7 @@ def run_newton_iterations(
         nodes, node_valid, patch_valid, stats = scale_program(
             surf, view, vis, sgm_arg, main_img, sub_imgs, inv_cal,
             lighting, opts)
-        nodes.block_until_ready()
+        timer.sync(nodes)
     surf = dataclasses.replace(surf, nodes=nodes, node_valid=node_valid,
                                patch_valid=patch_valid)
     if log:
@@ -721,19 +721,23 @@ def optimize_view(
             fill_src = init_depth.astype(dtype)
 
     lighting = None
-    timer = StageTimer()
+    timer = StageTimer(sync_arrays=opts.debug_lvl >= 2)
 
     def run_scale(surf):
         nonlocal lighting
         if log:
             log(f"### scale {surf.scale}: "
                 f"{int(surf.num_valid_patches())} patches")
-        view = _build_viewset(main, subs, surf.scale,
-                              opts.use_shading, surf.nodes.dtype)
+        with timer.stage(f"viewset@s{surf.scale}"):
+            view = _build_viewset(main, subs, surf.scale,
+                                  opts.use_shading, surf.nodes.dtype)
+            timer.sync(view.sub_gh)
         if opts.use_shading and surf.scale < 4:
-            shading_img, _ = main.shading_images()
-            nmap = S.normal_map(surf, 1.0 / main.flen())
-            lighting = fit_lighting(nmap, shading_img.astype(surf.nodes.dtype))
+            with timer.stage(f"lighting@s{surf.scale}"):
+                shading_img, _ = main.shading_images()
+                nmap = S.normal_map(surf, 1.0 / main.flen())
+                lighting = fit_lighting(nmap,
+                                        shading_img.astype(surf.nodes.dtype))
         return run_newton_iterations(surf, main, subs, view, opts, lighting,
                                      sgm_depth, log=log, timer=timer)
 
@@ -741,15 +745,19 @@ def optimize_view(
         debug_sink("smvs-initial", S.depth_map(surf))
     surf = run_scale(surf)
     while surf.scale > opts.min_scale and surf.scale > 0:
-        surf = S.subdivide(surf)
-        if fill_src is not None:
-            surf = S.fill_patches_from_depth(surf, fill_src)
+        with timer.stage(f"subdivide@s{surf.scale}"):
+            surf = S.subdivide(surf)
+            if fill_src is not None:
+                surf = S.fill_patches_from_depth(surf, fill_src)
+            timer.sync(surf.nodes)
         surf = run_scale(surf)
 
+    with timer.stage("extract"):
+        depth = S.depth_map(surf)
+        normals = S.normal_map(surf, 1.0 / main.flen())
+        timer.sync(normals)
     if log:
         log(timer.report())
-    depth = S.depth_map(surf)
-    normals = S.normal_map(surf, 1.0 / main.flen())
     if debug_sink is not None and opts.debug_lvl > 1 and lighting is not None:
         from smvs_tpu.shading import lighting as L
 

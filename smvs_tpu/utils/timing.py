@@ -14,11 +14,23 @@ from collections import defaultdict
 
 
 class StageTimer:
-    """Accumulates wall-clock per named stage; prints a report."""
+    """Accumulates wall-clock per named stage; prints a report.
 
-    def __init__(self):
+    ``sync_arrays=True`` makes `sync()` block on device results so stage
+    boundaries are accurate. Default off: with async dispatch each device
+    round-trip costs real latency (tens of ms through a tunneled chip), so
+    production runs let stages overlap and only the end-to-end time is
+    meaningful.
+    """
+
+    def __init__(self, sync_arrays: bool = False):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self.sync_arrays = sync_arrays
+
+    def sync(self, x):
+        if self.sync_arrays and x is not None:
+            x.block_until_ready()
 
     @contextlib.contextmanager
     def stage(self, name: str):
