@@ -269,11 +269,7 @@ def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
                         inv_flen_cal: jnp.ndarray):
     """Repeat boundary cutting while it deletes > 10 patches
     (reference `lib/depth_optimizer.cc:192-194, 326-328`), fully on device.
-
-    The photometric error per patch depends only on the patch's own
-    content, so it is computed once and reused across sweeps (the sweeps
-    only change the border structure)."""
-    mse = patch_mse(surf, view, vis)
+    """
 
     def cond(state):
         _, _, deleted = state
@@ -281,7 +277,7 @@ def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
 
     def body(state):
         surf_, vis_, _ = state
-        surf_, d = cut_boundaries(surf_, view, vis_, inv_flen_cal, mse)
+        surf_, d = cut_boundaries(surf_, view, vis_, inv_flen_cal)
         vis_ = vis_ & surf_.patch_valid[..., None]
         return (surf_, vis_, d)
 
@@ -292,14 +288,15 @@ def cut_boundaries_loop(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
 
 @jax.jit
 def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
-                   inv_flen_cal: np.ndarray,
-                   mse: Optional[jnp.ndarray] = None
+                   inv_flen_cal: np.ndarray
                    ) -> tuple[S.Surface, jnp.ndarray]:
     """One sweep of boundary cutting (reference `lib/depth_optimizer.cc:360-431`).
 
     Returns (surface, number_deleted). inv_flen_cal is the 3x3 inverse
-    calibration of the main view; `mse` may be precomputed (see
-    cut_boundaries_loop).
+    calibration of the main view. The photometric-error test only applies
+    to border patches, so the MSE is computed just for those (through a
+    fixed-capacity compaction like the GN assembly) — the reference also
+    evaluates `mse_for_patch` per border patch per sweep (:402-428).
     """
     ny, nx, _ = vis.shape
     ps = surf.patchsize
@@ -327,8 +324,6 @@ def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
     cut_depth = (dmax - dmin) > threshold
 
     # -- border-patch photometric error test --------------------------------
-    if mse is None:
-        mse = patch_mse(surf, view, vis)
     nvp = jnp.pad(surf.node_valid, ((1, 1), (1, 1)))
     ny1, nx1 = surf.node_valid.shape
     invalid_count = jnp.zeros((ny1, nx1), jnp.int32)
@@ -342,6 +337,10 @@ def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
     node_border = invalid_count > 1
     patch_border = (node_border[:-1, :-1] | node_border[:-1, 1:]
                     | node_border[1:, :-1] | node_border[1:, 1:])
+    B = ny * nx
+    cap = B // 4 if B >= 4096 else None
+    mse = patch_mse(surf, view, vis,
+                    select=patch_border & surf.patch_valid, capacity=cap)
     cut_border = patch_border & (mse > 0.05)
 
     delete = (cut_depth | cut_border) & surf.patch_valid
@@ -351,11 +350,37 @@ def cut_boundaries(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
     return surf, deleted
 
 
-def patch_mse(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray) -> jnp.ndarray:
-    """Mean photometric-gradient error per patch (reference :747-790)."""
+def patch_mse(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray,
+              select: Optional[jnp.ndarray] = None,
+              capacity: int | None = None) -> jnp.ndarray:
+    """Mean photometric-gradient error per patch (reference :747-790).
+
+    With `select`/`capacity`, only selected patches are evaluated through
+    a fixed-size compaction buffer; the rest get 0 (never cut). Selected
+    patches beyond capacity also get 0 — conservative, and the cut loop
+    re-sweeps while it keeps deleting.
+    """
     u, v = _patch_pixel_grids(surf)
     w, wdx, wdy = _patch_depths_and_derivs(surf)
     gm = gn.extract_patch_pixels(view.grad_main, surf)  # [ny, nx, P, 2]
+    ny, nx = surf.num_patches_y, surf.num_patches_x
+    B = ny * nx
+    P = u.shape[-1]
+
+    if capacity is not None and capacity < B:
+        flat_sel = select.reshape(-1)
+        total_sel = jnp.sum(flat_sel)
+        idx = jnp.nonzero(flat_sel, size=capacity, fill_value=0)[0]
+        kvalid = jnp.arange(capacity) < total_sel
+        u = u.reshape(B, P)[idx]
+        v = v.reshape(B, P)[idx]
+        w = w.reshape(B, P)[idx]
+        wdx = wdx.reshape(B, P)[idx]
+        wdy = wdy.reshape(B, P)[idx]
+        gm = gm.reshape(B, P, 2)[idx]
+        vis_sel = vis.reshape(B, -1)[idx]
+    else:
+        vis_sel = vis
 
     def per_n(M, t, gh_img):
         proj, _ = corr.warp(M, t, u, v, w)
@@ -363,14 +388,21 @@ def patch_mse(surf: S.Surface, view: gn.ViewSet, vis: jnp.ndarray) -> jnp.ndarra
         gs = iops.sample_gradient_packed(gh_img, proj[..., 0] - 0.5,
                                          proj[..., 1] - 0.5)
         jg = jnp.einsum("...ij,...i->...j", jac, gs)
-        return jnp.linalg.norm(gm - jg, axis=-1)  # [ny, nx, P]
+        return jnp.linalg.norm(gm - jg, axis=-1)  # [..., P]
 
     err = jax.vmap(per_n)(view.M, view.t, view.sub_gh)
-    err = jnp.moveaxis(err, 0, -1)  # [ny, nx, P, N]
-    mask = vis[:, :, None, :].astype(err.dtype)
+    err = jnp.moveaxis(err, 0, -1)  # [..., P, N]
+    mask = vis_sel[..., None, :].astype(err.dtype)
     total = (err * mask).sum((-1, -2))
     count = mask.sum(-1).sum(-1) * err.shape[-2]  # visible neighbors x pixels
-    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 1.0)
+    mse = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 1.0)
+    if capacity is not None and capacity < B:
+        out = jnp.zeros((B,), mse.dtype).at[idx].add(
+            mse * kvalid.astype(mse.dtype))
+        return out.reshape(ny, nx)
+    if select is not None:
+        mse = jnp.where(select, mse, 0.0)
+    return mse
 
 
 # ---------------------------------------------------------------------------
@@ -581,7 +613,6 @@ def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
         nodes, _, steps = _newton_loop(
             mk(nodes, node_valid, patch_valid), view, vis, node_valid,
             opts, lighting)
-        break_next = finished
 
         def cleanup(args):
             nodes, node_valid, patch_valid, vis = args
@@ -608,10 +639,14 @@ def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
         change = 1.0 - lo.astype(jnp.float32) / hi.astype(jnp.float32)
         conv = (it > 0) & ((new_count <= prev_count)
                            | (change < 0.05 * template.scale))
+        # Break the outer loop immediately on patch-count convergence: the
+        # reference also exits right after the cleanup of the converged
+        # iteration (`lib/depth_optimizer.cc:346-356`), without spending
+        # another Newton pass.
         finished = finished | conv
         stats = stats.at[it, 0].set(jnp.asarray(steps, jnp.int32))
         stats = stats.at[it, 1].set(jnp.asarray(new_count, jnp.int32))
-        return (nodes, node_valid, patch_valid, vis, it + 1, break_next,
+        return (nodes, node_valid, patch_valid, vis, it + 1, finished,
                 new_count, finished, stats)
 
     def cond(state):
