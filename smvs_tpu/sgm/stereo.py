@@ -98,6 +98,7 @@ def cost_volume(
     h, w = main_img.shape
     hn, wn = neighbor_img.shape
     m_hi, m_lo = census_transform(main_img)
+    nbr_win4 = iops.pack_window4(neighbor_img)
     ys, xs = jnp.mgrid[0:h, 0:w]
     u = xs.astype(main_img.dtype) + 0.5
     v = ys.astype(main_img.dtype) + 0.5
@@ -108,7 +109,7 @@ def cost_volume(
         py = proj[..., 1] - 0.5
         ok = (depth_n > 0) & (px >= 0) & (py >= 0) & (px <= wn - 1) & \
             (py <= hn - 1)
-        warped = jnp.where(ok, iops.bilinear(neighbor_img, px, py), 0.0)
+        warped = jnp.where(ok, iops.bilinear_packed4(nbr_win4, px, py), 0.0)
         w_hi, w_lo = census_transform(warped)
         cost = _hamming(m_hi, m_lo, w_hi, w_lo)
         return jnp.where(warped != 0, cost, INVALID_COST)
