@@ -639,8 +639,12 @@ def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
         lo = jnp.minimum(new_count, prev_count)
         hi = jnp.maximum(jnp.maximum(new_count, prev_count), 1)
         change = 1.0 - lo.astype(jnp.float32) / hi.astype(jnp.float32)
-        conv = (it > 0) & ((new_count <= prev_count)
-                           | (change < 0.05 * template.scale))
+        # Patch-count stability (reference :346-356). prev_count starts at
+        # the scale's initial count, so a first iteration whose cleanup
+        # deletes nothing converges immediately — the inner Newton loop
+        # already ran to plateau, further outer iterations only re-polish
+        # after cuts that didn't happen.
+        conv = (new_count <= prev_count) | (change < 0.05 * template.scale)
         # Break the outer loop immediately on patch-count convergence: the
         # reference also exits right after the cleanup of the converged
         # iteration (`lib/depth_optimizer.cc:346-356`), without spending
