@@ -184,6 +184,74 @@ def make_plane_scene(
                           width=dim, height=dim)
 
 
+def make_lambertian_sphere_scene(
+    n_views: int = 3,
+    dim: int = 200,
+    center=(0.0, 0.0, 6.0),
+    radius: float = 2.8,
+    baseline: float = 0.15,
+    light_params: np.ndarray | None = None,
+) -> SyntheticScene:
+    """N views of a textureless Lambertian sphere under SH lighting.
+
+    The shape-from-shading ground truth for the `-S` path (the capability of
+    the reference paper, consumed via `lib/gauss_newton_step.cc:420-516`):
+    uniform albedo, image intensity = SH(light, world normal), exact
+    per-pixel ray-sphere intersection for depth. Photometric texture carries
+    no surface detail here — only the shading term links intensity to
+    geometry. Background pixels get depth 0 and intensity 0 (below the
+    lighting fit's 0.05 gate).
+    """
+    from smvs_tpu.shading import sh as shmod
+
+    if light_params is None:
+        # gentle directional lighting over a positive ambient floor
+        light_params = np.zeros(16)
+        light_params[0] = 0.55
+        light_params[1] = 0.18   # x band
+        light_params[2] = -0.12  # y band
+        light_params[3] = -0.25  # z band (camera-facing normals have z<0)
+    O = np.asarray(center, np.float64)
+
+    cameras = []
+    for i in range(n_views):
+        angle = 0.04 * (i - (n_views - 1) / 2)
+        ca, sa = np.cos(angle), np.sin(angle)
+        rot = np.array([[ca, 0, -sa], [0, 1, 0], [sa, 0, ca]])
+        cam_pos = np.array([baseline * (i - (n_views - 1) / 2), 0.0, 0.0])
+        trans = -rot @ cam_pos
+        cameras.append(Camera(flen=1.0, rot=rot, trans=trans))
+
+    images, depths = [], []
+    xs, ys = np.meshgrid(np.arange(dim), np.arange(dim), indexing="xy")
+    for cam in cameras:
+        inv = cam.inverse_calibration(dim, dim)
+        dir_cam = np.stack(
+            [inv[0, 0] * (xs + 0.5) + inv[0, 2],
+             inv[1, 1] * (ys + 0.5) + inv[1, 2],
+             np.ones_like(xs, dtype=np.float64)], axis=-1)
+        dir_world = dir_cam @ cam.rot  # R^T d
+        C = cam.cam_position()
+        # |C + s*d - O|^2 = r^2, near root; z-depth = s (dir_cam z == 1).
+        oc = C - O
+        a = np.sum(dir_world**2, axis=-1)
+        b = 2.0 * (dir_world @ oc)
+        c = oc @ oc - radius * radius
+        disc = b * b - 4.0 * a * c
+        hit = disc > 0.0
+        s = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0.0))) / (2.0 * a),
+                     0.0)
+        P = C + s[..., None] * dir_world
+        n_world = (P - O) / radius
+        val = np.asarray(shmod.eval_4_band(n_world.reshape(-1, 3))) @ \
+            np.asarray(light_params)
+        val = np.clip(val.reshape(dim, dim), 0.0, 1.0)
+        images.append(np.where(hit, val, 0.0).astype(np.float32))
+        depths.append(np.where(hit, s, 0.0))
+    return SyntheticScene(cameras=cameras, images=images, depths=depths,
+                          width=dim, height=dim)
+
+
 def save_as_mve_scene(scene: SyntheticScene, path: str,
                       n_features: int = 200) -> None:
     """Write the synthetic scene as an on-disk MVE scene (views + bundle).

@@ -56,6 +56,50 @@ def test_render_normal_map_zeroes_invalid():
     assert out[0, 0] == 0.0
 
 
+def test_shading_term_recovers_textureless_sphere():
+    """The headline capability of the reference paper (ECCV 2016): on a
+    textureless Lambertian surface the base photometric term has no anchor —
+    the normal-divergence regularizer flattens the shape — while the SH
+    shading term (reference `lib/gauss_newton_step.cc:420-516`) ties
+    intensity to normals and recovers it. Measured here as a >=3x median
+    depth-error improvement on an analytic SH-lit sphere (observed ~13x)."""
+    from smvs_tpu.core.synthetic import make_lambertian_sphere_scene
+    from smvs_tpu.image import ops as iops
+
+    scene = make_lambertian_sphere_scene(n_views=3, dim=200)
+    gt = scene.depths[1]
+    main = make_view(scene.cameras[1], scene.images[1], view_id=1,
+                     dtype=jnp.float64)
+    subs = [make_view(scene.cameras[i], scene.images[i], view_id=i,
+                      dtype=jnp.float64) for i in (0, 2)]
+    # degraded init: heavily blurred ground truth (shape detail lost)
+    gt_j = jnp.asarray(np.where(gt > 0, gt, 0.0))
+    init = jnp.where(
+        gt_j > 0,
+        iops.gaussian_blur(jnp.where(gt_j > 0, gt_j, 3.9), 6.0),
+        0.0).astype(jnp.float64)
+
+    def run(use_shading):
+        surf = S.create_from_depth(init, 3)
+        opts = O.OptimizerOptions(
+            regularization=0.01, light_surf_regularization=50.0,
+            num_iterations=3, min_scale=2, use_sgm=False,
+            use_shading=use_shading, full_optimization=True,
+            max_newton_steps=40)
+        r = O.optimize_view(main, subs, opts, init_surface=surf)
+        depth = np.asarray(r.depth)
+        mask = (depth > 0) & (gt > 0)
+        rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+        return float(mask.mean()), float(np.median(rel))
+
+    cov_off, err_off = run(False)
+    cov_on, err_on = run(True)
+    assert cov_on > 0.6
+    assert err_on < 0.01, f"shading-on error {err_on:.4f}"
+    assert err_off > 3.0 * err_on, (
+        f"shading should help >=3x: off={err_off:.4f} on={err_on:.4f}")
+
+
 def test_shading_aware_optimization_runs():
     # End-to-end smoke: the -S path (SH fit at scale<4 + shading term in the
     # GN assembly) must run and still recover the plane.
