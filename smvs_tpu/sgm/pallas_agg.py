@@ -212,20 +212,23 @@ def _adaptive_p2_planes(inten: jnp.ndarray, reverse: bool, shifts: tuple,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("reverse", "shifts", "p1", "p2", "interpret"))
+    jax.jit,
+    static_argnames=("reverse", "shifts", "p1", "p2", "interpret", "xb"))
 def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
                 reverse: bool, shifts: tuple, p1: int, p2: int,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, xb: int = 1) -> jnp.ndarray:
     """One scan sweep of len(shifts) paths, accumulated into `acc`.
 
     cost/acc: [X, L, D] int16, scanned along the leading axis X (lines are
-    along L). inten: [X, L] int32 in the same orientation.
+    along L). inten: [X, L] int32 in the same orientation. ``xb`` scan
+    positions are processed per grid step (amortizes the fixed grid-step
+    cost; Mosaic stack-allocates every live [L, D] temporary of the
+    unrolled body, so xb is bounded by the 16MB VMEM budget at 2MP line
+    sizes).
     """
     X, L, D = cost.shape
-    # One scan position per grid step: Mosaic stack-allocates every live
-    # [L, D] temporary of the (unrolled) body, so at 2MP line sizes the
-    # body must stay minimal to fit the 16MB VMEM budget.
-    xb = 1
+    if X % xb:
+        xb = 1
     nblk = X // xb
 
     def idx(x):
