@@ -81,3 +81,22 @@ def test_full_aggregate_matches_scan_version():
     want = np.asarray(stereo.aggregate(cost, inten, 6, 96))
     got = np.asarray(pallas_agg.aggregate(cost, inten, 6, 96, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_pass_xb_batching_matches_xb1():
+    """xb > 1 processes several scan positions per grid step; results must
+    be bit-identical to the xb=1 kernel for every pass configuration."""
+    h, w, d = 8, 12, 16  # X = h divides 2 and 4
+    rng = np.random.default_rng(3)
+    cost = jnp.asarray(rng.integers(0, 63, size=(h, w, d)), jnp.int16)
+    inten = jnp.asarray(rng.integers(0, 255, size=(h, w)), jnp.int32)
+    acc = jnp.asarray(rng.integers(0, 500, size=(h, w, d)), jnp.int16)
+    for reverse in (False, True):
+        for shifts in ((0,), (0, 1, -1)):
+            want = np.asarray(pallas_agg._fused_pass(
+                cost, inten, acc, reverse, shifts, 6, 96, interpret=True))
+            for xb in (2, 4):
+                got = np.asarray(pallas_agg._fused_pass(
+                    cost, inten, acc, reverse, shifts, 6, 96,
+                    interpret=True, xb=xb))
+                np.testing.assert_array_equal(got, want)
