@@ -1,4 +1,9 @@
-"""Sweep the xb (scan positions per grid step) knob of the fused SGM pass."""
+"""Sweep the xb (scan positions per grid step) knob of the fused SGM pass.
+
+Correctness of xb>1 is pinned by tests/test_pallas_sgm.py in interpreter
+mode; this script only times the variants on the chip. All comparisons are
+on-device checksums — never transfer the 0.5GB volume through the tunnel.
+"""
 import os
 import sys
 import time
@@ -21,48 +26,36 @@ rng = np.random.default_rng(0)
 cost = jnp.asarray(rng.integers(0, 126, size=(H, W, D)), jnp.int16)
 inten = jnp.asarray(rng.integers(0, 255, size=(H, W)), jnp.int32)
 
-ph, pw = (-H) % 8, (-W) % 8
-c16 = jnp.pad(cost, ((0, ph), (0, pw), (0, 0)))
-it = jnp.pad(inten, ((0, ph), (0, pw)))
-ct = jnp.swapaxes(c16, 0, 1)
-itT = it.T
+ct = jnp.swapaxes(cost, 0, 1)
+itT = inten.T
 
-N = 8
+N = 4
+checks = {}
 
-ref_h = ref_v = None
-
-for xb in (1, 2, 4, 8):
+for xb in (1, 4, 8):
     for tag, c, i, shifts in (("hpass", ct, itT, (0,)),
-                              ("vpass3", c16, it, (0, 1, -1))):
+                              ("vpass3", cost, inten, (0, 1, -1))):
         try:
-            out = PA._fused_pass(c, i, jnp.zeros_like(c), False, shifts,
-                                 6, 96, xb=xb)
-            outv = np.asarray(out)
+            @jax.jit
+            def run(c, i):
+                def body(k, acc):
+                    return PA._fused_pass(c, i, acc, False, shifts, 6, 96,
+                                          xb=xb)
+                return jax.lax.fori_loop(0, N, body, jnp.zeros_like(c))
+
+            t0 = time.time()
+            out = run(c, i)
+            chk = int(np.asarray(jnp.sum(out.astype(jnp.int32))))
+            t_compile = time.time() - t0
+            t0 = time.time()
+            out = run(c, i)
+            np.asarray(jnp.sum(out.astype(jnp.int32)))
+            dt = (time.time() - t0) / N
         except Exception as e:
             print(f"xb={xb} {tag:8s} FAILED: {type(e).__name__}: {e}"[:200],
                   flush=True)
             continue
-        if xb == 1:
-            if tag == "hpass":
-                ref_h = outv
-            else:
-                ref_v = outv
-            match = True
-        else:
-            ref = ref_h if tag == "hpass" else ref_v
-            match = np.array_equal(outv, ref)
-
-        @jax.jit
-        def run(c, i):
-            def body(k, acc):
-                return PA._fused_pass(c, i, acc, False, shifts, 6, 96, xb=xb)
-            return jax.lax.fori_loop(0, N, body, jnp.zeros_like(c))
-
-        out = run(c, i)
-        np.asarray(out.ravel()[0])
-        t0 = time.time()
-        out = run(c, i)
-        np.asarray(out.ravel()[0])
-        dt = (time.time() - t0) / N
-        print(f"xb={xb} {tag:8s} {dt*1000:8.2f} ms/call  match={match}",
+        ref = checks.setdefault(tag, chk)
+        print(f"xb={xb} {tag:8s} {dt*1000:8.2f} ms/call  "
+              f"checksum_match={chk == ref}  (first call {t_compile:.1f}s)",
               flush=True)

@@ -487,6 +487,36 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
     return jnp.where(inb_r & (z_at > 0) & (depth > 0), depth, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("num_steps", "p1", "p2",
+                                              "use_pallas", "cost_interp"))
+def _rectified_sgm_packed(main_img, nbr_img, params, num_steps: int,
+                          p1: int, p2: int, use_pallas: bool,
+                          cost_interp: bool = False):
+    """Single-dispatch rectified SGM: warps + sweep + consistency in one jit.
+
+    ``params`` packs every per-pair scalar into ONE f32[34] array —
+    Hinv_main (9), Hinv_nbr (9), H_main (9), L_main (3), fB, off, disp0,
+    dstep — so one reconstruction costs one host->device transfer and one
+    dispatch instead of ~10 of each (each small transfer pays full
+    round-trip latency under a tunneled device; measured ~0.3s of a 0.7s
+    call at 2MP).
+    """
+    from smvs_tpu.sgm import rectify as R
+
+    f32 = main_img.dtype
+    params = params.astype(f32)
+    hinv_m = params[0:9].reshape(3, 3)
+    hinv_n = params[9:18].reshape(3, 3)
+    h_main = params[18:27].reshape(3, 3)
+    l_main = params[27:30]
+    fB, off, disp0, dstep = params[30], params[31], params[32], params[33]
+    main_r = R.warp_homography(main_img, hinv_m)
+    nbr_r = R.warp_homography(nbr_img, hinv_n)
+    shifts = disp0 + dstep * jnp.arange(num_steps, dtype=f32)
+    return _rectified_sgm(main_r, nbr_r, h_main, l_main, fB, off, disp0,
+                          dstep, shifts, p1, p2, use_pallas, cost_interp)
+
+
 def reconstruct_rectified(rp, main_img: jnp.ndarray, nbr_img: jnp.ndarray,
                           opts: SGMOptions = SGMOptions(),
                           use_pallas: bool | None = None) -> jnp.ndarray:
@@ -496,23 +526,17 @@ def reconstruct_rectified(rp, main_img: jnp.ndarray, nbr_img: jnp.ndarray,
     intensities on the 0..255 scale in the ORIGINAL frames; the returned
     depth map is in the main view's frame like :func:`reconstruct`.
     """
-    from smvs_tpu.sgm import rectify as R
-
-    main_r = R.warp_homography(jnp.asarray(main_img),
-                               jnp.asarray(np.linalg.inv(rp.H_main)))
-    nbr_r = R.warp_homography(jnp.asarray(nbr_img),
-                              jnp.asarray(np.linalg.inv(rp.H_nbr)))
     d = opts.num_steps
     lo = float(rp.disp_lo)
     step = max((rp.disp_hi - lo) / max(d - 1, 1), 1e-3)
-    f32 = jnp.asarray(main_img).dtype
-    shifts = jnp.asarray(lo, f32) + jnp.asarray(step, f32) * jnp.arange(d, dtype=f32)
-    return _rectified_sgm(
-        main_r, nbr_r, jnp.asarray(rp.H_main, f32),
-        jnp.asarray(rp.L_main, f32), jnp.asarray(rp.fB, f32),
-        jnp.asarray(rp.off, f32), jnp.asarray(lo, f32),
-        jnp.asarray(step, f32), shifts,
-        opts.penalty1, opts.penalty2,
+    params = np.concatenate([
+        np.linalg.inv(rp.H_main).ravel(), np.linalg.inv(rp.H_nbr).ravel(),
+        np.asarray(rp.H_main).ravel(), np.asarray(rp.L_main).ravel(),
+        [rp.fB, rp.off, lo, step],
+    ]).astype(np.float32)
+    return _rectified_sgm_packed(
+        jnp.asarray(main_img), jnp.asarray(nbr_img), jnp.asarray(params),
+        d, opts.penalty1, opts.penalty2,
         _use_pallas_default() if use_pallas is None else use_pallas,
         opts.cost_interp)
 
