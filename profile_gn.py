@@ -25,13 +25,17 @@ print(f"scale={scale} patches={surf.num_patches_y}x{surf.num_patches_x}",
       flush=True)
 opts = gn.GNOptions(regularization=0.01, chunk=4096)
 
+def force(out):
+    jax.tree.map(lambda x: np.asarray(x if getattr(x, 'ndim', 1) == 0
+                                      else x.ravel()[0]), out)
+
 def timeit(tag, fn, *args, n=3):
     out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     print(f"{tag:28s} {(time.time()-t0)/n*1000:8.2f} ms", flush=True)
     return out
 
@@ -39,7 +43,7 @@ asm = jax.jit(lambda s, v, vi, a: gn.assemble(s, v, vi, a, opts, None))
 g, Hb = timeit("assemble(full)", asm, surf, view, vis, active)
 
 P = jax.jit(stencil.block_jacobi_inverse)(Hb, active)
-jax.block_until_ready(P)
+force(P)
 
 N = 20
 @jax.jit
@@ -48,10 +52,10 @@ def spmv_loop(Hb, x):
         0, N, lambda i, xx: stencil.spmv(Hb, xx) * 1e-3, x)
 x0 = jnp.ones_like(g)
 out = spmv_loop(Hb, x0)
-jax.block_until_ready(out)
+force(out)
 t0 = time.time()
 out = spmv_loop(Hb, x0)
-jax.block_until_ready(out)
+force(out)
 print(f"{'spmv (in-graph)':28s} {(time.time()-t0)/N*1000:8.2f} ms/iter", flush=True)
 
 @jax.jit
@@ -60,10 +64,10 @@ def cg_fixed(Hb, g, P):
                     precond=lambda x: stencil.apply_block_diag(P, x),
                     max_iterations=50, error_tolerance=0.0, q_tolerance=0.0)
 res = cg_fixed(Hb, g, P)
-jax.block_until_ready(res.x)
+force(res.x)
 t0 = time.time()
 res = cg_fixed(Hb, g, P)
-jax.block_until_ready(res.x)
+force(res.x)
 dt = time.time() - t0
 print(f"{'cg 50 iters':28s} {dt*1000:8.2f} ms  ({dt/50*1000:.2f} ms/iter)",
       flush=True)
@@ -76,9 +80,9 @@ def cg_real(Hb, g, P):
                     max_iterations=200, error_tolerance=gnorm * 0.01,
                     q_tolerance=1e-3)
 res = cg_real(Hb, g, P)
-jax.block_until_ready(res.x)
+force(res.x)
 t0 = time.time()
 res = cg_real(Hb, g, P)
-jax.block_until_ready(res.x)
+force(res.x)
 print(f"{'cg real tol':28s} {(time.time()-t0)*1000:8.2f} ms  "
       f"iters={int(res.iterations)}", flush=True)

@@ -44,7 +44,7 @@ class OptimizerOptions:
     output_name: str = "smvs" 
     # TPU-specific knobs
     max_newton_steps: int = 200
-    chunk: int = 4096
+    chunk: int = 16384
     # Newton steps without active-set or reprojection-delta improvement
     # before the inner loop exits (see `_newton_loop`).
     stall_limit: int = 8
@@ -147,6 +147,42 @@ def _all_projections(surf: S.Surface, view: gn.ViewSet):
 # visibility (create_subview_surfaces)
 
 
+@jax.jit
+def zbuffer_scatter(view: gn.ViewSet, src: jnp.ndarray) -> jnp.ndarray:
+    """Min-depth z-buffer of a full-res depth source in each neighbor.
+
+    Returns [N, (sub_h+1)*(sub_w+1)] pre-pooled center splats (1e4 = empty).
+    Split out of :func:`compute_visibility` so a scale-invariant source
+    (the SGM depth: full-res, and the reprojection M/t never change across
+    scales because scale-space is by blur, not downsampling) is scattered
+    ONCE per view instead of once per scale — min over sources commutes
+    with everything downstream, so the caching is exact.
+    """
+    H, W = src.shape
+    dtype = src.dtype
+    sub_h, sub_w = view.sub_gh.shape[1:3]
+    ys, xs = jnp.mgrid[0:H, 0:W]
+    u_img = xs.astype(dtype) + 0.5
+    v_img = ys.astype(dtype) + 0.5
+    valid = src > 0
+    big = jnp.asarray(1e4, dtype)
+
+    def scatter_one(M, t):
+        proj, d = corr.warp(M, t, u_img, v_img, src)
+        pxl = proj[..., 0] - 0.5
+        pyl = proj[..., 1] - 0.5
+        ok = valid & (pxl >= 3.0) & (pxl < sub_w - 3.0) & \
+            (pyl >= 3.0) & (pyl < sub_h - 3.0)
+        cx = jnp.clip(pxl.astype(jnp.int32), 1, sub_w - 2)
+        cy = jnp.clip(pyl.astype(jnp.int32), 1, sub_h - 2)
+        vals = jnp.where(ok, d, big).reshape(-1)
+        idx = (cy * (sub_w + 1) + cx).reshape(-1)
+        return jnp.full(((sub_h + 1) * (sub_w + 1),), big,
+                        dtype).at[idx].min(vals)
+
+    return jax.vmap(scatter_one)(view.M, view.t)
+
+
 @partial(jax.jit, static_argnames=("use_sgm",))
 def compute_visibility(
     surf: S.Surface,
@@ -155,12 +191,15 @@ def compute_visibility(
     use_sgm: bool,
     main_image: jnp.ndarray,
     sub_images: jnp.ndarray,
+    sgm_zbuffer: Optional[jnp.ndarray] = None,
 ) -> tuple[S.Surface, jnp.ndarray]:
     """Per-(patch, neighbor) visibility; deletes patches visible nowhere.
 
     Counterpart of reference `lib/depth_optimizer.cc:433-604`: two-pass
     z-buffer with 0.95 tolerance, warp-anisotropy test (sigma ratio <= 8),
     and (no-SGM) NCC occlusion rejection. Returns (surface, vis[ny, nx, N]).
+    ``sgm_zbuffer`` is an optional precomputed `zbuffer_scatter(view,
+    sgm_depth)` (used instead of re-scattering the SGM source).
     """
     N = view.M.shape[0]
     H, W = surf.height, surf.width
@@ -171,32 +210,13 @@ def compute_visibility(
     # Each point splats a 3x3 footprint; scattering only the center and
     # min-pooling the buffer afterwards is equivalent (min over a window of
     # scattered centers) and does 1 scatter instead of 9.
-    ys, xs = jnp.mgrid[0:H, 0:W]
-    u_img = xs.astype(dtype) + 0.5
-    v_img = ys.astype(dtype) + 0.5
-    depth_img = S.depth_map(surf)
-    sources = [depth_img]
-    if use_sgm and sgm_depth is not None:
-        sources.append(sgm_depth.astype(dtype))
-
-    big = jnp.asarray(1e4, dtype)
-    cache = jnp.full((N, (sub_h + 1) * (sub_w + 1)), big, dtype)
-    for src in sources:
-        valid = src > 0
-
-        def scatter_one(cache_n, M, t):
-            proj, d = corr.warp(M, t, u_img, v_img, src)
-            pxl = proj[..., 0] - 0.5
-            pyl = proj[..., 1] - 0.5
-            ok = valid & (pxl >= 3.0) & (pxl < sub_w - 3.0) & \
-                (pyl >= 3.0) & (pyl < sub_h - 3.0)
-            cx = jnp.clip(pxl.astype(jnp.int32), 1, sub_w - 2)
-            cy = jnp.clip(pyl.astype(jnp.int32), 1, sub_h - 2)
-            vals = jnp.where(ok, d, big).reshape(-1)
-            idx = (cy * (sub_w + 1) + cx).reshape(-1)
-            return cache_n.at[idx].min(vals)
-
-        cache = jax.vmap(scatter_one)(cache, view.M, view.t)
+    cache = zbuffer_scatter(view, S.depth_map(surf))
+    if use_sgm:
+        if sgm_zbuffer is not None:
+            cache = jnp.minimum(cache, sgm_zbuffer.astype(dtype))
+        elif sgm_depth is not None:
+            cache = jnp.minimum(cache,
+                                zbuffer_scatter(view, sgm_depth.astype(dtype)))
     cache = cache.reshape(N, sub_h + 1, sub_w + 1)
 
     def min_pool3(c):
@@ -676,6 +696,7 @@ def run_newton_iterations(
     sgm_depth,
     log=None,
     timer: StageTimer | None = None,
+    sgm_zbuffer=None,
 ) -> S.Surface:
     """Reference `DepthOptimizer::run_newton_iterations` (:164-358).
 
@@ -690,7 +711,8 @@ def run_newton_iterations(
 
     with timer.stage(f"visibility@s{surf.scale}"):
         surf, vis = compute_visibility(surf, view, sgm_depth, opts.use_sgm,
-                                       main_img, sub_imgs)
+                                       main_img, sub_imgs,
+                                       sgm_zbuffer=sgm_zbuffer)
         surf, vis = cut_boundaries_loop(surf, view, vis, inv_cal)
         timer.sync(vis)
 
@@ -762,10 +784,11 @@ def optimize_view(
             fill_src = init_depth.astype(dtype)
 
     lighting = None
+    sgm_zb = None
     timer = StageTimer(sync_arrays=opts.debug_lvl >= 2)
 
     def run_scale(surf):
-        nonlocal lighting
+        nonlocal lighting, sgm_zb
         if log:
             log(f"### scale {surf.scale}: "
                 f"{int(surf.num_valid_patches())} patches")
@@ -773,6 +796,10 @@ def optimize_view(
             view = _build_viewset(main, subs, surf.scale,
                                   opts.use_shading, surf.nodes.dtype)
             timer.sync(view.sub_gh)
+        if opts.use_sgm and sgm_depth is not None and sgm_zb is None:
+            # Scale-invariant (blur scale-space keeps resolution and the
+            # reprojections fixed): scatter the SGM z-buffer once per view.
+            sgm_zb = zbuffer_scatter(view, sgm_depth.astype(surf.nodes.dtype))
         if opts.use_shading and surf.scale < 4:
             with timer.stage(f"lighting@s{surf.scale}"):
                 shading_img, _ = main.shading_images()
@@ -780,7 +807,8 @@ def optimize_view(
                 lighting = fit_lighting(nmap,
                                         shading_img.astype(surf.nodes.dtype))
         return run_newton_iterations(surf, main, subs, view, opts, lighting,
-                                     sgm_depth, log=log, timer=timer)
+                                     sgm_depth, log=log, timer=timer,
+                                     sgm_zbuffer=sgm_zb)
 
     if debug_sink is not None and opts.debug_lvl > 1:
         debug_sink("smvs-initial", S.depth_map(surf))

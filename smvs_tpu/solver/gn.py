@@ -65,7 +65,7 @@ class GNOptions:
     # scaled down so a slab stays near `chunk * 16` pixels regardless of
     # patch size — big enough to fill the chip, small enough to bound the
     # Jacobian workspace.
-    chunk: int = 4096
+    chunk: int = 16384
     # Closed-form value-space Jacobians for the data terms (reference
     # `lib/correspondence.cc:53-187`) instead of a 6-seed jax.linearize
     # through the residual graph. Same math; ~3x fewer ops per pixel.
