@@ -65,3 +65,26 @@ def test_patch_mse_select_matches_full():
     np.testing.assert_allclose(np.asarray(compact)[sel],
                                np.asarray(full)[sel], rtol=1e-12)
     assert (np.asarray(compact)[~sel] == 0).all()
+
+
+def test_precomputed_sgm_zbuffer_matches_inline():
+    surf, view, vis, _ = _problem(n_views=2, use_shading=False, dim=128,
+                                  scale=3)
+    rng = np.random.default_rng(5)
+    sgm_depth = jnp.asarray(
+        np.where(rng.uniform(size=(surf.height, surf.width)) > 0.3,
+                 rng.uniform(4.0, 7.0, size=(surf.height, surf.width)), 0.0),
+        surf.nodes.dtype)
+    main_img = jnp.asarray(rng.uniform(size=(surf.height, surf.width)),
+                           surf.nodes.dtype)
+    sub_imgs = jnp.asarray(
+        rng.uniform(size=(2, surf.height, surf.width)), surf.nodes.dtype)
+    s_in, vis_in = O.compute_visibility(surf, view, sgm_depth, True,
+                                        main_img, sub_imgs)
+    zb = O.zbuffer_scatter(view, sgm_depth)
+    s_pre, vis_pre = O.compute_visibility(surf, view, sgm_depth, True,
+                                          main_img, sub_imgs,
+                                          sgm_zbuffer=zb)
+    np.testing.assert_array_equal(np.asarray(vis_pre), np.asarray(vis_in))
+    np.testing.assert_array_equal(np.asarray(s_pre.patch_valid),
+                                  np.asarray(s_in.patch_valid))
