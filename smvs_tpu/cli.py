@@ -120,6 +120,19 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return 1
 
+    # ---- legacy-embedding migration (reference `app/smvsrecon.cc:429-452`):
+    # drop pre-release debug embeddings and rename `sgm-depth` -> `smvs-sgm`.
+    for v in views:
+        for legacy in ("lighting-shaded", "lighting-sphere",
+                       "implicit-albedo"):
+            if v.has_embedding(legacy):
+                v.remove_embedding(legacy)
+        if v.has_embedding("sgm-depth") and not v.has_embedding("smvs-sgm"):
+            v.set_image("smvs-sgm", np.asarray(v.get_image("sgm-depth")))
+            v.remove_embedding("sgm-depth")
+            if v.path:
+                v.save()
+
     if conf.clean:
         print("Cleaning scene, removing all result embeddings.")
         scene.clean_embeddings()
@@ -132,12 +145,17 @@ def main(argv=None) -> int:
                 and by_id[i].has_embedding(conf.image)]
 
     # ---- input scale (reference `app/smvsrecon.cc:476-501`) ---------------
+    # Sizes for EVERY view with an input image (not just the -l list):
+    # view selection and the downscale pass cover neighbor views too.
+    all_input_ids = [v.view_id for v in views
+                     if v.camera is not None and v.has_embedding(conf.image)]
     sizes = {}
-    for i in view_ids:
+    for i in all_input_ids:
         img = by_id[i].get_image(conf.image)
         sizes[i] = img.shape[:2]
     if conf.scale < 0:
-        avg = np.mean([h * w for (h, w) in sizes.values()])
+        avg = np.mean([h * w for (h, w) in
+                       ((sizes[i]) for i in view_ids)])
         conf.scale = int(np.ceil(np.log2(avg / conf.max_pixels) / 2)) \
             if avg > conf.max_pixels else 0
         print(f"Automatic input scale: {conf.scale}")
@@ -147,7 +165,7 @@ def main(argv=None) -> int:
     print(f"Output embedding: {output_name}")
 
     # ---- downscale inputs (reference :613-650) ----------------------------
-    for i in view_ids:
+    for i in all_input_ids:
         v = by_id[i]
         if conf.scale > 0 and not v.has_embedding(input_name):
             img = np.asarray(v.get_image(conf.image), np.float32)

@@ -65,3 +65,34 @@ def test_cli_clean(mve_scene):
     assert rc == 0
     assert not os.path.exists(os.path.join(path, "views", "view_0000.mve",
                                            "smvs-B0.mvei"))
+
+
+def test_cli_legacy_embedding_migration(mve_scene):
+    """Legacy embeddings are migrated on load (reference
+    `app/smvsrecon.cc:429-452`): debug embeddings removed, `sgm-depth`
+    renamed to `smvs-sgm`."""
+    from smvs_tpu.core import scene as sc
+
+    path, _ = mve_scene
+    scene = sc.Scene.load(path)
+    v = scene.views[0]
+    fake_sgm = np.full((8, 8), 2.5, np.float32)
+    v.set_image("sgm-depth", fake_sgm)
+    v.set_image("lighting-shaded", np.zeros((8, 8), np.float32))
+    v.set_image("implicit-albedo", np.zeros((8, 8), np.float32))
+    v.save()
+    # has_embedding("smvs-sgm") would be satisfied by a stale result from an
+    # earlier test; the fixture scene was cleaned by test_cli_clean above.
+    assert not v.has_embedding("smvs-sgm")
+
+    rc = cli.main([path, "--min-neighbors", "1", "-o", "4", "-r", "-l", "0"])
+    assert rc == 0
+    scene2 = sc.Scene.load(path)
+    v2 = [w for w in scene2.views if w.view_id == v.view_id][0]
+    assert not v2.has_embedding("sgm-depth")
+    assert not v2.has_embedding("lighting-shaded")
+    assert not v2.has_embedding("implicit-albedo")
+    # migration preserved the legacy SGM payload under the new name...
+    # unless reconstruction overwrote it at a different shape; either way
+    # the embedding must exist.
+    assert v2.has_embedding("smvs-sgm")

@@ -86,3 +86,26 @@ def test_newton_step_reduces_error():
     out = O.run_newton_iterations(surf, main, [sub], view, opts, None, None)
     err1 = depth_err(out)
     assert err1 < err0 * 0.7, f"error did not shrink: {err0:.4f} -> {err1:.4f}"
+
+
+def test_patch_tex_score():
+    """Texture score = mean abs deviation per patch, gated at mean
+    intensity 0.05 (reference `lib/depth_optimizer.cc:914-955`)."""
+    surf = S.create_planar(6.0, 32, 32, 3, dtype=jnp.float64)  # 3x3 patches
+    ps = surf.patchsize
+    sx, sy = surf.start_x, surf.start_y
+    img = jnp.zeros((32, 32), jnp.float64)
+    # patch (0, 0): bright with strong texture (half 0.2, half 0.8)
+    img = img.at[sy:sy + ps, sx:sx + ps // 2].set(0.2)
+    img = img.at[sy:sy + ps, sx + ps // 2:sx + ps].set(0.8)
+    # patch (0, 1): bright but flat
+    img = img.at[sy:sy + ps, sx + ps:sx + 2 * ps].set(0.5)
+    # patch (1, 0): textured but too dark (mean < 0.05 gate)
+    img = img.at[sy + ps:sy + 2 * ps, sx:sx + ps // 2].set(0.04)
+    img = img.at[sy + ps:sy + 2 * ps, sx + ps // 2:sx + ps].set(0.02)
+    score = np.asarray(O.patch_tex_score(surf, img))
+    assert score.shape == (3, 3)
+    np.testing.assert_allclose(score[0, 0], 0.3, rtol=1e-12)
+    assert score[0, 1] == 0.0
+    assert score[1, 0] == 0.0  # dark gate
+    assert score[0, 0] > score[0, 1]
