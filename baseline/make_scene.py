@@ -1,0 +1,48 @@
+"""Write the bench.py synthetic scene in a raw format for bench_reference.
+
+Emits, per view i: view{i}.img (int32 w, h + uint8 grayscale data) and
+view{i}.cam (text: flen / rot 9 / trans 3), plus gt1.bin (float64 z-depth
+of view 1, the main view) — the exact same scene `bench.py` measures the
+TPU pipeline on (same RNG, texture, cameras, slope law).
+"""
+
+import os
+import struct
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smvs_tpu.core.synthetic import make_two_view_scene  # noqa: E402
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/smvs_baseline_scene"
+    dim = int(os.environ.get("SMVS_BENCH_DIM", "1440"))
+    os.makedirs(out_dir, exist_ok=True)
+
+    slope = 0.005 * 460.0 / dim  # bench.py's resolution-independent geometry
+    scene = make_two_view_scene(
+        dim=dim, rotate=True, texture="noise",
+        depth_fn=lambda i, j: 5.0 + slope * i + slope * j)
+
+    for i, (cam, img) in enumerate(zip(scene.cameras, scene.images)):
+        u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        with open(os.path.join(out_dir, f"view{i}.img"), "wb") as f:
+            f.write(struct.pack("<ii", u8.shape[1], u8.shape[0]))
+            f.write(u8.tobytes())
+        with open(os.path.join(out_dir, f"view{i}.cam"), "w") as f:
+            f.write(f"{float(cam.flen)!r}\n")
+            f.write(" ".join(repr(float(v)) for v in cam.rot.reshape(-1)) + "\n")
+            f.write(" ".join(repr(float(v)) for v in cam.trans) + "\n")
+
+    gt = np.asarray(scene.depths[1], np.float64)
+    with open(os.path.join(out_dir, "gt1.bin"), "wb") as f:
+        f.write(struct.pack("<ii", gt.shape[1], gt.shape[0]))
+        f.write(gt.tobytes())
+    print(f"scene written to {out_dir} (dim={dim})")
+
+
+if __name__ == "__main__":
+    main()

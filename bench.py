@@ -9,11 +9,10 @@ The first pass warms the persistent compilation cache (kept in
 ``.jax_cache/`` so later rounds reuse it); the reported number is the
 steady-state second pass.
 
-Baseline: the reference `smvsrecon` is CPU-only and publishes no numbers
-(BASELINE.md); its documented envelope (~1 thread per view, ~2 MP working
-resolution, minutes per view) corresponds to roughly 0.033 MP/s per thread
-(2 MP / 60 s). ``vs_baseline`` is measured against that estimate until a
-real smvsrecon measurement is available.
+Baseline: MEASURED from the reference's own pipeline code compiled and run
+single-threaded (its per-view work unit) on this exact scene and options —
+see baseline/README.md and baseline/BASELINE_MEASURED.json. Falls back to
+the round-1 estimate if the measurement file is missing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,7 +24,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_CPU_MPS = 0.033  # estimated reference smvsrecon MP/s per thread
+
+def baseline_cpu_mps() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "baseline", "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["result"]["mps_single_thread"])
+    except (OSError, KeyError, ValueError):
+        return 0.033  # round-1 estimate (2 MP / 60 s per thread)
+
+
+BASELINE_CPU_MPS = baseline_cpu_mps()
 
 
 def log(msg):
