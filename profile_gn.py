@@ -50,7 +50,7 @@ N = 20
 def spmv_loop(Hb, x):
     return jax.lax.fori_loop(
         0, N, lambda i, xx: stencil.spmv(Hb, xx) * 1e-3, x)
-x0 = jnp.ones_like(g)
+x0 = jnp.ones_like(g)  # [4, ny1, nx1] plane layout
 out = spmv_loop(Hb, x0)
 force(out)
 t0 = time.time()

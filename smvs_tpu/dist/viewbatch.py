@@ -79,7 +79,8 @@ def batched_newton_step(
             error_tolerance=gnorm * 0.01,
             q_tolerance=1e-3,
         )
-        delta = jnp.where(jnp.isfinite(res.x), res.x, 0.0)
+        delta = jnp.moveaxis(res.x, 0, -1)  # solver plane layout -> node grid
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         return jnp.where(node_valid[..., None], nodes + delta, nodes)
 
     return jax.vmap(one_view)

@@ -491,7 +491,7 @@ def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
         error_tolerance=gnorm * 0.01,
         q_tolerance=1e-3,
     )
-    delta = res.x
+    delta = jnp.moveaxis(res.x, 0, -1)  # [ny1, nx1, 4] (solver plane layout)
     bad = ~jnp.isfinite(delta).all()
     delta = jnp.where(bad, 0.0, delta)
 

@@ -22,11 +22,17 @@ def fit_lighting(normal_map: jnp.ndarray, image: jnp.ndarray) -> jnp.ndarray:
     Pixels with non-unit normals or intensity < 0.05 are excluded. Uses the
     pseudo-inverse of the accumulated normal equations like the reference.
     """
-    norm = jnp.linalg.norm(normal_map, axis=-1)
-    valid = (jnp.abs(norm - 1.0) <= 1e-4) & (image >= 0.05)
-    basis = sh.eval_4_band(normal_map)  # [H, W, 16]
-    basis = basis * valid[..., None]
-    b = jnp.einsum("hwl,hw->l", basis, image * valid)
+    finite = jnp.isfinite(normal_map).all(axis=-1)
+    nm = jnp.where(finite[..., None], normal_map, 0.0)
+    norm = jnp.linalg.norm(nm, axis=-1)
+    valid = finite & (jnp.abs(norm - 1.0) <= 1e-4) & (image >= 0.05)
+    basis = sh.eval_4_band(nm)  # [H, W, 16]
+    # jnp.where (not a mask multiply): excluded pixels may hold NaN normals
+    # (unrasterized patches), and 0 * NaN would poison the normal equations.
+    # The reference's skip-continue loop (`lib/light_optimizer.cc:36-38`)
+    # is naturally NaN-safe; this is its masked equivalent.
+    basis = jnp.where(valid[..., None], basis, 0.0)
+    b = jnp.einsum("hwl,hw->l", basis, jnp.where(valid, image, 0.0))
     A = jnp.einsum("hwl,hwk->lk", basis, basis)
     return jnp.linalg.pinv(A) @ b
 

@@ -22,6 +22,7 @@ walks patches with scalar SSE loops, hand-derived Jacobians, and scatters
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -527,6 +528,215 @@ def patch_grad_hessian_analytic(
     return g, H
 
 
+_SYM_PAIRS = [(k, l) for k in range(6) for l in range(k, 6)]  # 21 upper-tri
+
+
+@functools.lru_cache(maxsize=None)
+def _contraction_tensors(patchsize: int, sampling: int, dtype_str: str):
+    """Static basis contraction tensors for the flat assembly.
+
+    Returns (basis_flat [P*6, 16], gsym [P*21, 256]) with
+    gsym[p, (k,l)] = vec(b_pk b_pl^T) (+ transpose when k != l), so that
+    H [B, 256] = A_sym [B, P*21] @ gsym and g [B, 16] = b [B, P*6]
+    @ basis_flat — two MXU matmuls replacing the per-patch einsums.
+    """
+    # All inputs are static; force eager evaluation so the tensors become
+    # numpy constants even when this is first reached inside a jit trace.
+    with jax.ensure_compile_time_eval():
+        basis = np.asarray(bicubic.pixel_basis(patchsize, sampling,
+                                               dtype=jnp.dtype(dtype_str)))
+    P = basis.shape[0]
+    gsym = np.zeros((P, len(_SYM_PAIRS), 16, 16), basis.dtype)
+    for idx, (k, l) in enumerate(_SYM_PAIRS):
+        outer = np.einsum("pm,pn->pmn", basis[:, k, :], basis[:, l, :])
+        if k != l:
+            outer = outer + np.swapaxes(outer, -1, -2)
+        gsym[:, idx] = outer
+    # numpy (not jnp) so the lru_cache never captures trace-scoped arrays.
+    return (basis.reshape(P * 6, 16),
+            gsym.reshape(P * len(_SYM_PAIRS), 256))
+
+
+def _assemble_flat(
+    params, pix_u, pix_v, gm, vis_f, patch_ok, view, patchsize, sampling,
+    lighting, opts, width, height,
+):
+    """Whole-grid GN assembly without per-patch chunking.
+
+    Same math as :func:`patch_grad_hessian_analytic`, restructured for the
+    TPU memory system: instead of materializing the value-space Jacobian
+    J6 [B, P, C, 6] (hundreds of MB at fine scales — the measured assembly
+    bottleneck), accumulate the per-pixel quadratic form
+    A = J6^T W J6 [B, P, 21 sym] and right-hand side b = J6^T W r [B, P, 6]
+    directly with elementwise ops (one fused XLA kernel from the sampling
+    gather to A/b), then contract to per-patch (16,)+(16,16) systems with
+    two large matmuls against precomputed basis-pair tensors
+    (`_contraction_tensors`). Exploits the data/pair channels' sparsity in
+    value space: each touches only (w, wdx) or (w, wdy)
+    (see `_data_term_analytic`; reference `lib/correspondence.cc:53-187`).
+
+    params [B, 16], pix_u/v [B, P], gm [B, P, 2], vis_f [B, N],
+    patch_ok [B] -> (g [B, 16], H [B, 16, 16]).
+    """
+    dtype = params.dtype
+    B, P = pix_u.shape
+    n_sub = view.M.shape[0]
+
+    params_safe = jnp.where(patch_ok[:, None] > 0, params,
+                            jnp.zeros_like(params).at[0::4].set(1.0))
+    basis_flat, gsym = _contraction_tensors(patchsize, sampling, str(dtype))
+    vals = (params_safe @ basis_flat.T).reshape(B, P, 6)
+    w = vals[..., 0]
+    wdx = vals[..., 1]
+    wdy = vals[..., 2]
+
+    # A as upper-triangular dict of [B, P] arrays; b as list of 6.
+    A = {kl: jnp.zeros((B, P), dtype) for kl in _SYM_PAIRS}
+    b = [jnp.zeros((B, P), dtype) for _ in range(6)]
+
+    num_subs = vis_f.sum(-1)  # [B]
+    num_diffs = (num_subs * (num_subs + 1.0) / 2.0)[:, None]  # [B, 1]
+    okw = patch_ok[:, None]  # folded into every weight
+
+    def accum_sparse(rx, ry, dwx, dwy, S, wt_x, wt_y):
+        """Data/pair channel pair: J rows are (dwx, S, 0, ...) and
+        (dwy, 0, S, 0, ...) in value space."""
+        A[(0, 0)] += wt_x * dwx * dwx + wt_y * dwy * dwy
+        A[(0, 1)] += wt_x * dwx * S
+        A[(1, 1)] += wt_x * S * S
+        A[(0, 2)] += wt_y * dwy * S
+        A[(2, 2)] += wt_y * S * S
+        b[0] += wt_x * rx * dwx + wt_y * ry * dwy
+        b[1] += wt_x * rx * S
+        b[2] += wt_y * ry * S
+
+    # --- data terms ---------------------------------------------------------
+    jg, djg_dw, S = jax.vmap(
+        lambda M, t, gh: _data_term_analytic(M, t, gh, pix_u, pix_v,
+                                             w, wdx, wdy)
+    )(view.M, view.t, view.sub_gh)  # [N, B, P, 2], [N, B, P, 2], [N, B, P]
+    jg = _nan0(jg)
+    djg_dw = _nan0(djg_dw)
+    S = _nan0(S)
+
+    for n in range(n_sub):
+        rx = jg[n, ..., 0] - gm[..., 0]
+        ry = jg[n, ..., 1] - gm[..., 1]
+        vn = vis_f[:, n][:, None] * okw
+        accum_sparse(rx, ry, djg_dw[n, ..., 0], djg_dw[n, ..., 1], S[n],
+                     vn / (R_FACTOR + jnp.abs(rx)),
+                     vn / (R_FACTOR + jnp.abs(ry)))
+
+    for a in range(n_sub):
+        for c in range(a + 1, n_sub):
+            rx = jg[a, ..., 0] - jg[c, ..., 0]
+            ry = jg[a, ..., 1] - jg[c, ..., 1]
+            pv = (vis_f[:, a] * vis_f[:, c])[:, None] * okw
+            accum_sparse(rx, ry,
+                         djg_dw[a, ..., 0] - djg_dw[c, ..., 0],
+                         djg_dw[a, ..., 1] - djg_dw[c, ..., 1],
+                         S[a] - S[c],
+                         pv / (R_FACTOR + jnp.abs(rx)),
+                         pv / (R_FACTOR + jnp.abs(ry)))
+
+    # --- regularizer: 6 divergence components, dense 6x6 value Jacobian ----
+    xc = pix_u - width / 2.0
+    yc = pix_v - height / 2.0
+
+    def div_of(v):
+        return nrm.normal_divergence(xc, yc, view.flen, v[..., 0], v[..., 1],
+                                     v[..., 2], v[..., 3], v[..., 4],
+                                     v[..., 5])
+
+    div, div_jvp = jax.linearize(div_of, vals)
+    div = _nan0(div)
+    eye6 = jnp.eye(6, dtype=dtype)
+    jdiv = [_nan0(div_jvp(jnp.broadcast_to(eye6[k], vals.shape)))
+            for k in range(6)]  # 6 x [B, P, 6]: column k of d(div)/d(vals)
+
+    gm_abs = jnp.abs(gm).sum(-1)  # [B, P]
+    basic_w = opts.regularization * 0.005 / jnp.maximum(0.03, gm_abs)
+    basic_w = basic_w * num_diffs
+    geom = (opts.light_surf_regularization / 100.0
+            if lighting is not None else 1.0)
+    if opts.regularization <= 0.0 or (lighting is not None
+                                      and opts.light_surf_regularization
+                                      <= 0.0):
+        reg_gate = 0.0
+    else:
+        reg_gate = 1.0
+    for i in range(6):
+        wi = reg_gate * basic_w * geom / (R_FACTOR + jnp.abs(div[..., i]))
+        wi = wi * okw
+        for (k, l) in _SYM_PAIRS:
+            A[(k, l)] += wi * jdiv[k][..., i] * jdiv[l][..., i]
+        for k in range(6):
+            b[k] += wi * div[..., i] * jdiv[k][..., i]
+
+    # --- shading term -------------------------------------------------------
+    if lighting is not None:
+        inv_flen = 1.0 / view.flen
+        lin_grad = _nan0(jnp.stack(
+            [iops.bilinear(view.shading_grad[0], pix_u - 0.5, pix_v - 0.5),
+             iops.bilinear(view.shading_grad[1], pix_u - 0.5, pix_v - 0.5)],
+            axis=-1))
+        lin_val = iops.bilinear(view.shading_image, pix_u - 0.5, pix_v - 0.5)
+        lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
+        lin_term = lin_grad / lin_safe[..., None]
+
+        def shading_of(v):
+            dv = nrm.normal_divergence(xc, yc, view.flen, v[..., 0],
+                                       v[..., 1], v[..., 2], v[..., 3],
+                                       v[..., 4], v[..., 5])
+            normal = nrm.normal(xc, yc, inv_flen, v[..., 0], v[..., 1],
+                                v[..., 2])
+            # GN approximation: dSH/dn held constant w.r.t. node params
+            # (reference `lib/gauss_newton_step.cc:480-495`).
+            n0 = jax.lax.stop_gradient(normal)
+            _, sh_jvp = jax.linearize(shmod.eval_4_band, n0)
+            lam0 = lighting.at[0].set(0.0)
+            coef = jnp.stack(
+                [jnp.einsum("l,...l->...", lam0,
+                            sh_jvp(jnp.broadcast_to(
+                                jnp.eye(3, dtype=dtype)[k], n0.shape)))
+                 for k in range(3)], axis=-1)  # [..., 3]
+            sh_val = jnp.einsum("l,...l->...", lighting,
+                                shmod.eval_4_band(normal))
+            sgrad = jnp.stack([(coef * dv[..., 0:3]).sum(-1),
+                               (coef * dv[..., 3:6]).sum(-1)], axis=-1)
+            safe = jnp.where(jnp.abs(sh_val) < 1e-10, 1.0, sh_val)
+            return sgrad / safe[..., None] - lin_term, sh_val
+
+        (sh_res, sh_val), sh_jvp_f = jax.linearize(shading_of, vals)
+        sh_res = _nan0(sh_res)
+        jsh = [_nan0(sh_jvp_f(jnp.broadcast_to(eye6[k], vals.shape))[0])
+               for k in range(6)]  # 6 x [B, P, 2]
+
+        lin_grad_abs = jnp.abs(lin_grad).sum(-1)
+        shading_weight = 0.001 * num_diffs / (R_FACTOR + lin_grad_abs)
+        gate = (
+            (lin_grad_abs**2 >= 1e-20).astype(dtype)
+            * (sh_val**2 >= 1e-10).astype(dtype)
+            * (lin_val**2 >= 1e-10).astype(dtype)
+        )
+        if opts.regularization <= 0.0:
+            gate = gate * 0.0
+        for c in range(2):
+            wc = gate * shading_weight / (
+                R_FACTOR + jnp.abs(sh_res[..., c])) * okw
+            for (k, l) in _SYM_PAIRS:
+                A[(k, l)] += wc * jsh[k][..., c] * jsh[l][..., c]
+            for k in range(6):
+                b[k] += wc * sh_res[..., c] * jsh[k][..., c]
+
+    # --- basis contraction: two MXU matmuls --------------------------------
+    A_packed = jnp.stack([A[kl] for kl in _SYM_PAIRS], axis=-1)  # [B, P, 21]
+    b_packed = jnp.stack(b, axis=-1)  # [B, P, 6]
+    H = (A_packed.reshape(B, P * len(_SYM_PAIRS)) @ gsym).reshape(B, 16, 16)
+    g = b_packed.reshape(B, P * 6) @ basis_flat
+    return g, H
+
+
 def assemble(
     surf: Surface,
     view: ViewSet,
@@ -558,30 +768,38 @@ def assemble(
     patch_ok = (surf.patch_valid.reshape(-1) & (vis.reshape(ny * nx, -1).sum(-1) > 0)
                 ).astype(surf.nodes.dtype)
 
-    kernel = patch_grad_hessian_analytic if opts.analytic else patch_grad_hessian
-    fn = partial(kernel, view=view, basis=basis, lighting=lighting,
-                 opts=opts, width=surf.width, height=surf.height)
-    vfn = jax.vmap(fn)
-
     B = ny * nx
     P_pix = pix_u.shape[1]
 
-    def run_batch(params, pix_u, pix_v, gm, vis_f, patch_ok):
-        nb = params.shape[0]
-        chunk = max(1, min(opts.chunk, nb, (opts.chunk * 16) // max(P_pix, 1)))
-        pad = (-nb) % chunk
+    if opts.analytic:
+        def run_batch(params, pix_u, pix_v, gm, vis_f, patch_ok):
+            return _assemble_flat(params, pix_u, pix_v, gm, vis_f, patch_ok,
+                                  view, surf.patchsize, sampling, lighting,
+                                  opts, surf.width, surf.height)
+    else:
+        fn = partial(patch_grad_hessian, view=view, basis=basis,
+                     lighting=lighting, opts=opts, width=surf.width,
+                     height=surf.height)
+        vfn = jax.vmap(fn)
 
-        def padded(x):
-            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)).reshape(
-                (nb + pad) // chunk, chunk, *x.shape[1:]
+        def run_batch(params, pix_u, pix_v, gm, vis_f, patch_ok):
+            nb = params.shape[0]
+            chunk = max(1, min(opts.chunk, nb,
+                               (opts.chunk * 16) // max(P_pix, 1)))
+            pad = (-nb) % chunk
+
+            def padded(x):
+                return jnp.pad(
+                    x, [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                ).reshape((nb + pad) // chunk, chunk, *x.shape[1:])
+
+            gs, Hs = jax.lax.map(
+                lambda args: vfn(*args),
+                (padded(params), padded(pix_u), padded(pix_v), padded(gm),
+                 padded(vis_f), padded(patch_ok)),
             )
-
-        gs, Hs = jax.lax.map(
-            lambda args: vfn(*args),
-            (padded(params), padded(pix_u), padded(pix_v), padded(gm),
-             padded(vis_f), padded(patch_ok)),
-        )
-        return gs.reshape(nb + pad, 16)[:nb], Hs.reshape(nb + pad, 16, 16)[:nb]
+            return (gs.reshape(nb + pad, 16)[:nb],
+                    Hs.reshape(nb + pad, 16, 16)[:nb])
 
     if capacity is not None and capacity < B:
         # Compacted working-set assembly: a patch contributes to the system
@@ -605,8 +823,10 @@ def assemble(
     else:
         g_flat, H_flat = run_batch(params, pix_u, pix_v, gm, vis_f, patch_ok)
 
-    g_patch = g_flat.reshape(ny, nx, 16)
-    H_patch = H_flat.reshape(ny, nx, 16, 16)
+    # Channel-major planes for the stencil layout (see solver/stencil.py):
+    # one transpose here instead of lane-padded [ny, nx, 16(,16)] tensors.
+    g_patch = g_flat.T.reshape(16, ny, nx)
+    H_patch = H_flat.reshape(B, 256).T.reshape(16, 16, ny, nx)
 
     from smvs_tpu.solver import stencil
 

@@ -51,17 +51,20 @@ def test_scatter_and_spmv_match_dense():
     active[2, 1] = False
 
     g, Hb = stencil.scatter_patch_systems(
-        jnp.asarray(g_patch), jnp.asarray(H_patch), jnp.asarray(active),
-        jnp.asarray(pv)
+        jnp.asarray(np.moveaxis(g_patch, -1, 0)),
+        jnp.asarray(np.moveaxis(H_patch, (-2, -1), (0, 1))),
+        jnp.asarray(active), jnp.asarray(pv)
     )
     Gd, Hd = _dense_from_patches(g_patch, H_patch, pv, active)
-    np.testing.assert_allclose(np.asarray(g).reshape(-1), Gd, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(g), 0, -1).reshape(-1), Gd, rtol=1e-12)
 
     x = rng.normal(size=((ny + 1), (nx + 1), 4))
-    y = stencil.spmv(Hb, jnp.asarray(x))
+    y = stencil.spmv(Hb, jnp.asarray(np.moveaxis(x, -1, 0)))
     yd = Hd @ x.reshape(-1)
-    np.testing.assert_allclose(np.asarray(y).reshape(-1), yd, rtol=1e-10,
-                               atol=1e-10)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y), 0, -1).reshape(-1), yd, rtol=1e-10,
+        atol=1e-10)
 
 
 def test_cg_solves_spd_system():
@@ -69,8 +72,9 @@ def test_cg_solves_spd_system():
     ny, nx = 3, 3
     g_patch, H_patch, pv, active = _random_patch_system(ny, nx, rng)
     g, Hb = stencil.scatter_patch_systems(
-        jnp.asarray(g_patch), jnp.asarray(H_patch), jnp.asarray(active),
-        jnp.asarray(pv)
+        jnp.asarray(np.moveaxis(g_patch, -1, 0)),
+        jnp.asarray(np.moveaxis(H_patch, (-2, -1), (0, 1))),
+        jnp.asarray(active), jnp.asarray(pv)
     )
     Gd, Hd = _dense_from_patches(g_patch, H_patch, pv, active)
     P = stencil.block_jacobi_inverse(Hb, jnp.asarray(active))
@@ -83,8 +87,9 @@ def test_cg_solves_spd_system():
         q_tolerance=0.0,
     )
     want = np.linalg.solve(Hd, Gd)
-    np.testing.assert_allclose(np.asarray(res.x).reshape(-1), want, rtol=1e-6,
-                               atol=1e-8)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(res.x), 0, -1).reshape(-1), want, rtol=1e-6,
+        atol=1e-8)
 
 
 def test_cg_inactive_rows_stay_zero():
@@ -94,8 +99,9 @@ def test_cg_inactive_rows_stay_zero():
     active = np.ones((ny + 1, nx + 1), dtype=bool)
     active[0, :] = False
     g, Hb = stencil.scatter_patch_systems(
-        jnp.asarray(g_patch), jnp.asarray(H_patch), jnp.asarray(active),
-        jnp.asarray(pv)
+        jnp.asarray(np.moveaxis(g_patch, -1, 0)),
+        jnp.asarray(np.moveaxis(H_patch, (-2, -1), (0, 1))),
+        jnp.asarray(active), jnp.asarray(pv)
     )
     P = stencil.block_jacobi_inverse(Hb, jnp.asarray(active))
     res = cg.solve(
@@ -103,7 +109,7 @@ def test_cg_inactive_rows_stay_zero():
         precond=lambda v: stencil.apply_block_diag(P, v),
         max_iterations=200, error_tolerance=1e-18, q_tolerance=1e-3,
     )
-    x = np.asarray(res.x)
+    x = np.moveaxis(np.asarray(res.x), 0, -1)
     assert np.abs(x[0]).max() == 0.0
     assert np.isfinite(x).all()
 
