@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clean", action="store_true")
     p.add_argument("--platform", default="",
                    help="JAX platform override (e.g. cpu)")
+    p.add_argument("--batch-views", type=int, default=4,
+                   help="reconstruct up to N same-shaped views as one "
+                        "batched SPMD program (1 = sequential)")
     return p
 
 
@@ -220,15 +223,10 @@ def main(argv=None) -> int:
         return make_view(by_id[i].camera, img, view_id=i,
                          gamma_correction=conf.gamma_srgb)
 
-    t_all = time.time()
-    for i in recon_list:
-        t0 = time.time()
-        main_view = stereo_view(i)
-        subs = [stereo_view(n) for n in neighbors[i]]
-        w, h = main_view.width, main_view.height
-        inv_cal = by_id[i].camera.inverse_calibration(w, h)
-
+    def prepare_init(i, h, w):
+        """SGM (checkpointed) or bundle-splat init for view i."""
         sgm_depth = None
+        init_depth = None
         if use_sgm:
             if conf.force_sgm or not by_id[i].has_embedding("smvs-sgm"):
                 sgm_depth = reconstruct_sgm(conf, by_id, i, neighbors[i],
@@ -250,30 +248,12 @@ def main(argv=None) -> int:
                 xx = (np.arange(w) * sgm_depth.shape[1] / w).astype(int)
                 sgm_depth = sgm_depth[yy][:, xx]
             sgm_depth = jnp.asarray(sgm_depth)
-
-        init_depth = None
-        if not use_sgm:
+        else:
             init_depth = jnp.asarray(
                 bundle.splat_depth_map(i, by_id[i].camera, w, h))
+        return sgm_depth, init_depth
 
-        opts = O.OptimizerOptions(
-            regularization=0.01 * conf.alpha,
-            light_surf_regularization=conf.regularize_lighting,
-            num_iterations=5,
-            min_scale=conf.output_scale,
-            use_shading=conf.shading,
-            use_sgm=use_sgm,
-            full_optimization=conf.full_opt,
-            debug_lvl=conf.debug_lvl,
-        )
-        log = print if conf.debug_lvl > 0 else None
-        debug_sink = None
-        if conf.debug_lvl > 1:
-            def debug_sink(name, img, _v=by_id[i]):
-                _v.set_image(name, np.asarray(img, np.float32))
-        result = O.optimize_view(main_view, subs, opts,
-                                 init_depth=init_depth, sgm_depth=sgm_depth,
-                                 log=log, debug_sink=debug_sink)
+    def write_result(i, result, inv_cal):
         depth = np.asarray(result.depth, np.float64)
         by_id[i].set_image(output_name, np.asarray(
             depth_z_to_mve(depth, inv_cal), np.float32))
@@ -281,8 +261,67 @@ def main(argv=None) -> int:
                            np.asarray(result.normals, np.float32))
         if scene.path:
             by_id[i].save()
-        print(f"View {i} done in {time.time()-t0:.1f}s "
-              f"({len(subs)} neighbors)")
+
+    opts = O.OptimizerOptions(
+        regularization=0.01 * conf.alpha,
+        light_surf_regularization=conf.regularize_lighting,
+        num_iterations=5,
+        min_scale=conf.output_scale,
+        use_shading=conf.shading,
+        use_sgm=use_sgm,
+        full_optimization=conf.full_opt,
+        debug_lvl=conf.debug_lvl,
+    )
+    log = print if conf.debug_lvl > 0 else None
+
+    # Group same-shaped views into buckets; each bucket of >= 2 views runs
+    # through the batched SPMD pipeline (the reference's per-view thread
+    # fanout, `app/smvsrecon.cc:558`, mapped to the views mesh axis).
+    from smvs_tpu.pipeline import batch as VB
+
+    buckets: dict = {}
+    for i in recon_list:
+        h, w = sizes[i]
+        if conf.scale > 0:
+            for _ in range(conf.scale):
+                h, w = (h + 1) // 2, (w + 1) // 2
+        buckets.setdefault((h, w, len(neighbors[i])), []).append(i)
+
+    t_all = time.time()
+    for key, ids in buckets.items():
+        group_size = max(1, conf.batch_views)
+        for lo in range(0, len(ids), group_size):
+            group = ids[lo : lo + group_size]
+            t0 = time.time()
+            mains = [stereo_view(i) for i in group]
+            subs_list = [[stereo_view(n) for n in neighbors[i]]
+                         for i in group]
+            inits = [prepare_init(i, m.height, m.width)
+                     for i, m in zip(group, mains)]
+            inv_cals = [by_id[i].camera.inverse_calibration(
+                m.width, m.height) for i, m in zip(group, mains)]
+            if len(group) >= 2 and conf.debug_lvl <= 1:
+                results = VB.optimize_view_batch(
+                    mains, subs_list, opts,
+                    sgm_depths=[s for s, _ in inits] if use_sgm else None,
+                    init_depths=None if use_sgm else [d for _, d in inits],
+                    log=log)
+            else:
+                results = []
+                for m, subs, (sgm_d, init_d), i in zip(
+                        mains, subs_list, inits, group):
+                    debug_sink = None
+                    if conf.debug_lvl > 1:
+                        def debug_sink(name, img, _v=by_id[i]):
+                            _v.set_image(name, np.asarray(img, np.float32))
+                    results.append(O.optimize_view(
+                        m, subs, opts, init_depth=init_d, sgm_depth=sgm_d,
+                        log=log, debug_sink=debug_sink))
+            for i, result, inv_cal in zip(group, results, inv_cals):
+                write_result(i, result, inv_cal)
+            print(f"Views {group} done in {time.time()-t0:.1f}s "
+                  f"({key[2]} neighbors, "
+                  f"{'batched' if len(group) >= 2 else 'sequential'})")
     print(f"Reconstruction took {time.time()-t_all:.1f}s")
 
     if conf.recon_only:
