@@ -62,10 +62,28 @@ def make_sphere(out_dir):
     print(f"sphere scene written to {out_dir}")
 
 
+def make_plane(out_dir):
+    """3-view textured plane at SMVS_BENCH_DIM — the flagship (-S, 2
+    neighbors) bench scene shared by bench.py's shading pass."""
+    from smvs_tpu.core.synthetic import make_plane_scene
+
+    dim = int(os.environ.get("SMVS_BENCH_DIM", "1440"))
+    scene = make_plane_scene(n_views=3, dim=dim)
+    write_scene(scene, out_dir)
+    gts = np.stack([d for d in scene.depths])
+    lo = float(gts[gts > 0].min())
+    hi = float(gts.max())
+    print(f"plane scene written to {out_dir} (dim={dim}, "
+          f"depth range [{lo:.3f}, {hi:.3f}])")
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/smvs_baseline_scene"
     if len(sys.argv) > 2 and sys.argv[2] == "sphere":
         make_sphere(out_dir)
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "plane":
+        make_plane(out_dir)
         return
     dim = int(os.environ.get("SMVS_BENCH_DIM", "1440"))
     os.makedirs(out_dir, exist_ok=True)

@@ -42,6 +42,61 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def run_shading_once(dim, min_scale, verbose=True):
+    """Flagship configuration: shading-aware (-S) with 2 neighbors on the
+    3-view textured plane scene (the reference's headline mode runs -S
+    with multiple neighbors, `app/smvsrecon.cc:52, 713`)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvs_tpu.core.synthetic import make_plane_scene
+    from smvs_tpu.pipeline import optimizer as O
+    from smvs_tpu.pipeline.views import make_view
+    from smvs_tpu.sgm import stereo as sgm
+
+    scene = make_plane_scene(n_views=3, dim=dim)
+    views = [make_view(scene.cameras[i], scene.images[i], view_id=i)
+             for i in range(3)]
+    main_v = views[1]
+    subs = [views[0], views[2]]
+    np.asarray(main_v.image[0, 0])
+
+    t0 = time.time()
+    # SGM of the 2 neighbors, averaged (reference app:347-384).
+    acc = None
+    for s in subs:
+        d = np.asarray(sgm.reconstruct_auto(
+            scene.cameras[1], scene.cameras[s.view_id],
+            main_v.image * 255.0, s.image * 255.0,
+            range_main=(3.4, 6.6), range_nbr=(3.4, 6.6)))
+        if acc is None:
+            acc = d
+        else:
+            both = (acc > 0) & (d > 0)
+            only2 = (acc == 0) & (d > 0)
+            acc = np.where(both, (acc + d) * 0.5, np.where(only2, d, acc))
+    sgm_depth = jnp.asarray(acc)
+    np.asarray(sgm_depth[0, 0])
+    t_sgm = time.time() - t0
+
+    t0 = time.time()
+    opts = O.OptimizerOptions(
+        regularization=0.01, light_surf_regularization=0.0,
+        num_iterations=5, min_scale=min_scale, use_sgm=True,
+        use_shading=True, full_optimization=False,
+    )
+    result = O.optimize_view(main_v, subs, opts, sgm_depth=sgm_depth,
+                             log=log if verbose else None)
+    np.asarray(result.depth[0, 0])
+    t_opt = time.time() - t0
+
+    depth = np.asarray(result.depth)
+    mask = depth > 0
+    gt = scene.depths[1]
+    rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+    return t_sgm, t_opt, float(mask.mean()), float(np.median(rel))
+
+
 def run_once(dim, min_scale, verbose=True):
     import jax.numpy as jnp
     import numpy as np
@@ -121,11 +176,40 @@ def main():
     log(f"sgm={t_sgm:.2f}s opt={t_opt:.2f}s coverage={coverage:.1%} "
         f"median_err={med_err:.5f}")
 
+    log("flagship (-S, 2 neighbors) warmup...")
+    t0 = time.time()
+    run_shading_once(dim, min_scale)
+    log(f"shading warmup took {time.time()-t0:.1f}s")
+    log("flagship measured pass...")
+    s_sgm, s_opt, s_cov, s_err = run_shading_once(dim, min_scale,
+                                                  verbose=False)
+    s_mps = (dim * dim / 1e6) / (s_sgm + s_opt)
+    log(f"shading: sgm={s_sgm:.2f}s opt={s_opt:.2f}s coverage={s_cov:.1%} "
+        f"median_err={s_err:.5f} -> {s_mps:.3f} MP/s")
+
+    shading_baseline = None
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "baseline", "BASELINE_MEASURED.json")
+        with open(path) as f:
+            shading_baseline = json.load(f)["shading_flagship"][
+                "mps_single_thread"]
+    except (OSError, KeyError, ValueError):
+        pass
+
     print(json.dumps({
         "metric": "depth_map_throughput",
         "value": round(mps, 4),
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_CPU_MPS, 2),
+        "base": {"mps": round(mps, 4), "coverage": round(coverage, 4),
+                 "median_rel_err": round(med_err, 6), "neighbors": 1},
+        "shading_flagship": {
+            "mps": round(s_mps, 4), "coverage": round(s_cov, 4),
+            "median_rel_err": round(s_err, 6), "neighbors": 2,
+            "vs_baseline": (None if not shading_baseline
+                            else round(s_mps / shading_baseline, 2)),
+        },
     }))
 
 

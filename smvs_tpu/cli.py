@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-views", type=int, default=4,
                    help="reconstruct up to N same-shaped views as one "
                         "batched SPMD program (1 = sequential)")
+    p.add_argument("--pad-bucket", type=int, default=32,
+                   help="pad working images (edge mode, exact camera "
+                        "adjustment) up to multiples of N pixels so "
+                        "heterogeneous sizes share compiled programs "
+                        "(1 = off)")
     return p
 
 
@@ -218,19 +223,66 @@ def main(argv=None) -> int:
             img = img / 255.0
         return img.astype(np.float32)
 
+    quantum = max(1, conf.pad_bucket)
+
+    def padded_dims(h, w):
+        return (-(-h // quantum) * quantum, -(-w // quantum) * quantum)
+
+    def working_dims(i):
+        h, w = sizes[i]
+        if conf.scale > 0:
+            for _ in range(conf.scale):
+                h, w = (h + 1) // 2, (w + 1) // 2
+        return h, w
+
+    # One shared canvas (max padded working dims over all views): neighbor
+    # image stacks need equal shapes, and a single canvas maximizes
+    # compiled-program sharing across a heterogeneous scene — the
+    # shape-bucketing policy of SURVEY section 7, hard part 5.
+    if quantum > 1:
+        all_wd = [working_dims(i) for i in all_input_ids] or [(0, 0)]
+        canvas = padded_dims(max(h for h, _ in all_wd),
+                             max(w for _, w in all_wd))
+    else:
+        canvas = None
+
     def stereo_view(i):
         img = load_gray(i)
-        return make_view(by_id[i].camera, img, view_id=i,
+        cam = by_id[i].camera
+        h, w = img.shape[:2]
+        ph, pw = canvas if canvas is not None else (h, w)
+        if (ph, pw) != (h, w):
+            pad = [(0, ph - h), (0, pw - w)] + [(0, 0)] * (img.ndim - 2)
+            img = np.pad(img, pad, mode="edge")
+            cam = cam.resized_canvas(w, h, pw, ph)
+        return make_view(cam, img, view_id=i,
                          gamma_correction=conf.gamma_srgb)
 
-    def prepare_init(i, h, w):
-        """SGM (checkpointed) or bundle-splat init for view i."""
+    def padded_gray(i):
+        """Working image on the shared canvas + the adjusted camera."""
+        img = load_gray(i)
+        cam = by_id[i].camera
+        h, w = img.shape[:2]
+        ph, pw = canvas if canvas is not None else (h, w)
+        if (ph, pw) != (h, w):
+            img = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+            cam = cam.resized_canvas(w, h, pw, ph)
+        return img, cam
+
+    def prepare_init(i, oh, ow, h, w):
+        """SGM (checkpointed) or bundle-splat init for view i.
+
+        (oh, ow) are the original working dims, (h, w) the padded canvas.
+        SGM runs on the canvas (exactly-adjusted cameras), so its depth
+        upsamples straight to (h, w); a checkpointed `smvs-sgm` embedding
+        from an unpadded run is upsampled to (oh, ow) and zero-padded.
+        """
         sgm_depth = None
         init_depth = None
         if use_sgm:
             if conf.force_sgm or not by_id[i].has_embedding("smvs-sgm"):
                 sgm_depth = reconstruct_sgm(conf, by_id, i, neighbors[i],
-                                            load_gray, bundle, sgm_range)
+                                            padded_gray, bundle, sgm_range)
                 by_id[i].set_image(
                     "smvs-sgm",
                     np.asarray(depth_z_to_mve(
@@ -243,22 +295,37 @@ def main(argv=None) -> int:
                     raw, by_id[i].camera.inverse_calibration(
                         raw.shape[1], raw.shape[0]))
             sgm_depth = np.asarray(sgm_depth, np.float32)
-            if sgm_depth.shape != (h, w):  # upsample to working res
-                yy = (np.arange(h) * sgm_depth.shape[0] / h).astype(int)
-                xx = (np.arange(w) * sgm_depth.shape[1] / w).astype(int)
+            sh, sw = sgm_depth.shape
+            # Does the checkpointed map cover the padded canvas or only the
+            # original working area (written by an unpadded/older run)?
+            covers_canvas = abs(sh * (2**conf.sgm_scale) - h) <= \
+                (2**conf.sgm_scale) and (h, w) != (oh, ow)
+            th, tw = (h, w) if covers_canvas or (h, w) == (oh, ow) \
+                else (oh, ow)
+            if (sh, sw) != (th, tw):  # upsample to working res
+                yy = (np.arange(th) * sh / th).astype(int)
+                xx = (np.arange(tw) * sw / tw).astype(int)
                 sgm_depth = sgm_depth[yy][:, xx]
+            if sgm_depth.shape != (h, w):
+                sgm_depth = np.pad(sgm_depth, ((0, h - sgm_depth.shape[0]),
+                                               (0, w - sgm_depth.shape[1])))
             sgm_depth = jnp.asarray(sgm_depth)
         else:
-            init_depth = jnp.asarray(
-                bundle.splat_depth_map(i, by_id[i].camera, w, h))
+            init_depth = bundle.splat_depth_map(i, by_id[i].camera, ow, oh)
+            if (h, w) != (oh, ow):
+                init_depth = np.pad(init_depth,
+                                    ((0, h - oh), (0, w - ow)))
+            init_depth = jnp.asarray(init_depth)
         return sgm_depth, init_depth
 
-    def write_result(i, result, inv_cal):
-        depth = np.asarray(result.depth, np.float64)
+    def write_result(i, result, oh, ow):
+        # Crop the padded canvas back to the view's working resolution.
+        depth = np.asarray(result.depth, np.float64)[:oh, :ow]
+        normals = np.asarray(result.normals, np.float32)[:oh, :ow]
+        inv_cal = by_id[i].camera.inverse_calibration(ow, oh)
         by_id[i].set_image(output_name, np.asarray(
             depth_z_to_mve(depth, inv_cal), np.float32))
-        by_id[i].set_image(output_name + "N",
-                           np.asarray(result.normals, np.float32))
+        by_id[i].set_image(output_name + "N", normals)
         if scene.path:
             by_id[i].save()
 
@@ -279,13 +346,18 @@ def main(argv=None) -> int:
     # fanout, `app/smvsrecon.cc:558`, mapped to the views mesh axis).
     from smvs_tpu.pipeline import batch as VB
 
-    buckets: dict = {}
-    for i in recon_list:
+    def working_dims(i):
         h, w = sizes[i]
         if conf.scale > 0:
             for _ in range(conf.scale):
                 h, w = (h + 1) // 2, (w + 1) // 2
-        buckets.setdefault((h, w, len(neighbors[i])), []).append(i)
+        return h, w
+
+    buckets: dict = {}
+    for i in recon_list:
+        h, w = working_dims(i)
+        buckets.setdefault((*padded_dims(h, w), len(neighbors[i])),
+                           []).append(i)
 
     t_all = time.time()
     for key, ids in buckets.items():
@@ -296,10 +368,9 @@ def main(argv=None) -> int:
             mains = [stereo_view(i) for i in group]
             subs_list = [[stereo_view(n) for n in neighbors[i]]
                          for i in group]
-            inits = [prepare_init(i, m.height, m.width)
-                     for i, m in zip(group, mains)]
-            inv_cals = [by_id[i].camera.inverse_calibration(
-                m.width, m.height) for i, m in zip(group, mains)]
+            orig_dims = [working_dims(i) for i in group]
+            inits = [prepare_init(i, oh, ow, m.height, m.width)
+                     for i, (oh, ow), m in zip(group, orig_dims, mains)]
             if len(group) >= 2 and conf.debug_lvl <= 1:
                 results = VB.optimize_view_batch(
                     mains, subs_list, opts,
@@ -317,8 +388,8 @@ def main(argv=None) -> int:
                     results.append(O.optimize_view(
                         m, subs, opts, init_depth=init_d, sgm_depth=sgm_d,
                         log=log, debug_sink=debug_sink))
-            for i, result, inv_cal in zip(group, results, inv_cals):
-                write_result(i, result, inv_cal)
+            for i, result, (oh, ow) in zip(group, results, orig_dims):
+                write_result(i, result, oh, ow)
             print(f"Views {group} done in {time.time()-t0:.1f}s "
                   f"({key[2]} neighbors, "
                   f"{'batched' if len(group) >= 2 else 'sequential'})")
@@ -354,8 +425,13 @@ def main(argv=None) -> int:
     return 0
 
 
-def reconstruct_sgm(conf, by_id, i, nbrs, load_gray, bundle, sgm_range):
-    """SGM of up to 2 neighbors, averaged (reference `app/smvsrecon.cc:347-384`)."""
+def reconstruct_sgm(conf, by_id, i, nbrs, padded_gray, bundle, sgm_range):
+    """SGM of up to 2 neighbors, averaged (reference `app/smvsrecon.cc:347-384`).
+
+    Runs on the shared padded canvas (`padded_gray` returns image +
+    exactly-adjusted camera) so heterogeneous view sizes share one
+    compiled sweep.
+    """
     import jax.numpy as jnp
 
     from smvs_tpu.sgm import stereo as sgm
@@ -368,9 +444,9 @@ def reconstruct_sgm(conf, by_id, i, nbrs, load_gray, bundle, sgm_range):
             x = iops.rescale_half_size(x)
         return x
 
-    main_img = at_sgm_scale(load_gray(i))
+    img_i, cam_i = padded_gray(i)
+    main_img = at_sgm_scale(img_i)
     h, w = main_img.shape
-    cam_i = by_id[i].camera
 
     def depth_range(view_id, cam, width, height):
         if sgm_range is not None:
@@ -381,9 +457,9 @@ def reconstruct_sgm(conf, by_id, i, nbrs, load_gray, bundle, sgm_range):
     opts = sgm.SGMOptions(scale=conf.sgm_scale, debug_lvl=conf.debug_lvl)
     acc = None
     for n in nbrs[:2]:
-        nb_img = at_sgm_scale(load_gray(n))
+        img_n, cam_n = padded_gray(n)
+        nb_img = at_sgm_scale(img_n)
         hn, wn = nb_img.shape
-        cam_n = by_id[n].camera
         d = sgm.reconstruct_auto(
             cam_i, cam_n, main_img, nb_img,
             range_main=depth_range(i, cam_i, w, h),

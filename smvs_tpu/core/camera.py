@@ -110,6 +110,29 @@ class Camera:
 
     # -- reprojection (view pair warp) --------------------------------------
 
+    def resized_canvas(self, width: int, height: int, new_width: int,
+                       new_height: int) -> "Camera":
+        """Camera for a right/bottom padded (or cropped) image canvas.
+
+        The pixel-space intrinsics K are preserved exactly: padding the
+        image on the right/bottom keeps every original pixel's ray, so the
+        adjusted camera satisfies
+        ``adjusted.calibration(new_w, new_h) == self.calibration(w, h)``.
+        Used by the shape-bucketing path (pad images to a small set of
+        sizes so heterogeneous scenes don't recompile per size).
+        """
+        K = self.calibration(width, height)
+        ax = K[0, 0]
+        # MVE convention with square pixels: ax == ay == flen * max(w, h).
+        new_flen = ax / max(new_width, new_height)
+        return Camera(
+            flen=new_flen,
+            rot=self.rot.copy(),
+            trans=self.trans.copy(),
+            ppoint=(K[0, 2] / new_width, K[1, 2] / new_height),
+            paspect=self.paspect,
+        )
+
     def fill_reprojection(
         self,
         dst: "Camera",

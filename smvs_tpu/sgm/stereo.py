@@ -455,9 +455,19 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
     cut = 0.03 * max(w, h)
     xn = xs.astype(f32) - disp_m
     inb = (xn >= cut) & (xn < w - cut) & (ys >= cut) & (ys < h - cut)
-    xi = jnp.clip(jnp.round(xn).astype(jnp.int32), 0, w - 1)
-    disp_n_at = disp_n[ys, xi]
-    ok_n_at = ok_n[ys, xi]
+    # Sub-pixel consistency: bilinear along the epipolar line where both
+    # supports are valid, nearest valid support otherwise. (The reference
+    # truncates to the integer pixel, `lib/sgm_stereo.cc:86-88`; sub-pixel
+    # lookup measurably tightens the check at depth discontinuities.)
+    x0 = jnp.clip(jnp.floor(xn).astype(jnp.int32), 0, w - 2)
+    fx = jnp.clip(xn - x0.astype(f32), 0.0, 1.0)
+    dn0 = disp_n[ys, x0]
+    dn1 = disp_n[ys, x0 + 1]
+    okn0 = ok_n[ys, x0]
+    okn1 = ok_n[ys, x0 + 1]
+    disp_n_at = jnp.where(okn0 & okn1, dn0 * (1.0 - fx) + dn1 * fx,
+                          jnp.where(okn0, dn0, dn1))
+    ok_n_at = okn0 | okn1
     zm_rect = fB / jnp.where(jnp.abs(disp_m - off) > 1e-9, disp_m - off, 1e9)
     zn_rect = fB / jnp.where(jnp.abs(disp_n_at - off) > 1e-9,
                              disp_n_at - off, 1e9)
@@ -477,9 +487,30 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
     rz = Hc[2, 0] * u + Hc[2, 1] * v + Hc[2, 2]
     rx = rx / rz
     ry = ry / rz
-    rxi = jnp.clip(jnp.round(rx - 0.5).astype(jnp.int32), 0, w - 1)
-    ryi = jnp.clip(jnp.round(ry - 0.5).astype(jnp.int32), 0, h - 1)
-    z_at = z_rect[ryi, rxi]
+    # Sub-pixel un-rectify: validity-weighted bilinear over the 2x2 support
+    # when the valid samples agree (ratio >= 0.8); otherwise fall back to
+    # the nearest sample — plain bilinear would invent phantom depths
+    # across discontinuities.
+    gx = rx - 0.5
+    gy = ry - 0.5
+    gx0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, w - 2)
+    gy0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, h - 2)
+    gfx = jnp.clip(gx - gx0.astype(f32), 0.0, 1.0)
+    gfy = jnp.clip(gy - gy0.astype(f32), 0.0, 1.0)
+    z4 = jnp.stack([z_rect[gy0, gx0], z_rect[gy0, gx0 + 1],
+                    z_rect[gy0 + 1, gx0], z_rect[gy0 + 1, gx0 + 1]])
+    w4 = jnp.stack([(1 - gfx) * (1 - gfy), gfx * (1 - gfy),
+                    (1 - gfx) * gfy, gfx * gfy])
+    m4 = (z4 > 0).astype(f32)
+    wsum = (w4 * m4).sum(0)
+    zbar = (w4 * m4 * z4).sum(0) / jnp.maximum(wsum, 1e-12)
+    zmin = jnp.min(jnp.where(m4 > 0, z4, jnp.inf), axis=0)
+    zmax = jnp.max(jnp.where(m4 > 0, z4, 0.0), axis=0)
+    agree = zmin >= 0.8 * zmax
+    rxi = jnp.clip(jnp.round(gx).astype(jnp.int32), 0, w - 1)
+    ryi = jnp.clip(jnp.round(gy).astype(jnp.int32), 0, h - 1)
+    z_nn = z_rect[ryi, rxi]
+    z_at = jnp.where((wsum > 0.5) & agree, zbar, z_nn)
     inb_r = (rz > 0) & (rx >= 0.5) & (rx <= w - 0.5) & (ry >= 0.5) & \
         (ry <= h - 0.5)
     Lc = L_main.astype(f32)

@@ -96,3 +96,55 @@ def test_cli_legacy_embedding_migration(mve_scene):
     # unless reconstruction overwrote it at a different shape; either way
     # the embedding must exist.
     assert v2.has_embedding("smvs-sgm")
+
+
+def test_resized_canvas_preserves_intrinsics():
+    from smvs_tpu.core.camera import Camera
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(3, 3))
+    u, _, vt = np.linalg.svd(q)
+    cam = Camera(flen=1.2, rot=u @ vt, trans=np.array([0.3, -0.1, 0.05]))
+    K = cam.calibration(1437, 1080)
+    cam2 = cam.resized_canvas(1437, 1080, 1440, 1088)
+    K2 = cam2.calibration(1440, 1088)
+    np.testing.assert_allclose(K2, K, rtol=1e-12)
+
+
+def test_cli_heterogeneous_sizes_share_bucket(tmp_path):
+    """Views of different sizes are padded onto one canvas (exact camera
+    adjustment) and reconstruct through the shared batched program
+    (SURVEY section 7 hard part 5: no recompile per image size)."""
+    from smvs_tpu.core import scene as sc
+
+    path = str(tmp_path / "scene")
+    scene = make_two_view_scene(dim=160, rotate=True, texture="noise")
+    save_as_mve_scene(scene, path)
+    # shrink view 0's image by a few pixels (right/bottom crop) and adjust
+    # its stored camera for the smaller canvas
+    loaded = sc.Scene.load(path)
+    v0 = [v for v in loaded.views if v.view_id == 0][0]
+    img = np.asarray(v0.get_image("undistorted"))[:153, :149]
+    v0.set_image("undistorted", img)
+    v0.camera = v0.camera.resized_canvas(160, 160, 149, 153)
+    v0.save()
+    # the bundle camera list stays as-is; view selection only needs
+    # approximate footprints.
+    rc = cli.main([path, "--min-neighbors", "1", "-o", "4",
+                   "--pad-bucket", "32"])
+    assert rc == 0
+    ply_path = os.path.join(path, "smvs-B0.ply")
+    ps = load_ply(ply_path)
+    assert len(ps.vertices) > 400
+
+    cam = scene.cameras[1]
+    p_cam = ps.vertices @ cam.rot.T + cam.trans
+    uv = cam.project(p_cam, scene.width, scene.height)
+    inb = (uv[:, 0] >= 0) & (uv[:, 0] < scene.width) & \
+        (uv[:, 1] >= 0) & (uv[:, 1] < scene.height) & (p_cam[:, 2] > 0)
+    xi = np.clip(uv[inb, 0].astype(int), 0, scene.width - 1)
+    yi = np.clip(uv[inb, 1].astype(int), 0, scene.height - 1)
+    gt = scene.depths[1][yi, xi]
+    ok = gt > 0
+    rel = np.abs(p_cam[inb][ok, 2] - gt[ok]) / gt[ok]
+    assert np.median(rel) < 0.02, f"median fused error {np.median(rel):.4f}"

@@ -109,3 +109,54 @@ def test_patch_tex_score():
     assert score[0, 1] == 0.0
     assert score[1, 0] == 0.0  # dark gate
     assert score[0, 0] > score[0, 1]
+
+
+def test_bundle_splat_init_with_expansion():
+    """No-SGM mode end-to-end: init from sparse SfM feature splats
+    (`Bundle.splat_depth_map`, reference `lib/surface.cc:91-130`) and grow
+    the surface by `expand` each outer iteration (reference
+    `lib/depth_optimizer.cc:326-338`, `lib/surface.cc:472-628`). The final
+    surface must cover far more than the splat footprint and stay accurate.
+    """
+    from smvs_tpu.core import scene as sc
+    from smvs_tpu.core.synthetic import make_plane_scene
+
+    scene = make_plane_scene(n_views=3, dim=160)
+    views = [make_view(scene.cameras[i], scene.images[i], view_id=i)
+             for i in range(3)]
+    main_id = 1
+    main = views[main_id]
+    subs = [views[0], views[2]]
+
+    # Bundle features sampled from the main view's analytic depth.
+    cam = scene.cameras[main_id]
+    inv = cam.inverse_calibration(scene.width, scene.height)
+    rng = np.random.default_rng(3)
+    feats = []
+    for _ in range(150):
+        x = int(rng.integers(5, scene.width - 5))
+        y = int(rng.integers(5, scene.height - 5))
+        z = scene.depths[main_id][y, x]
+        ray = inv @ np.array([x + 0.5, y + 0.5, 1.0])
+        p_world = cam.rot.T @ (ray * z - cam.trans)
+        feats.append(sc.Feature3D(pos=p_world,
+                                  color=np.array([128, 128, 128]),
+                                  refs=[0, 1, 2]))
+    bundle = sc.Bundle(cameras=list(scene.cameras), features=feats)
+    splat = bundle.splat_depth_map(main_id, cam, scene.width, scene.height)
+    splat_cov = float((splat > 0).mean())
+    assert splat_cov < 0.02  # sparse by construction
+
+    opts = O.OptimizerOptions(
+        regularization=0.01, num_iterations=5, min_scale=4,
+        use_sgm=False, full_optimization=True, max_newton_steps=20)
+    result = O.optimize_view(main, subs, opts,
+                             init_depth=jnp.asarray(splat, jnp.float32))
+    depth = np.asarray(result.depth)
+    gt = scene.depths[main_id]
+    mask = (depth > 0) & (gt > 0)
+    cov = float(mask.mean())
+    assert cov > 10 * splat_cov, (cov, splat_cov)
+    assert cov > 0.25, cov
+    rel = np.abs(depth[mask] - gt[mask]) / gt[mask]
+    assert np.median(rel) < 0.01, f"median err {np.median(rel):.4f}"

@@ -142,3 +142,30 @@ def test_warp_homography_identity_and_shift():
     out = np.asarray(R.warp_homography(img, H_inv))
     np.testing.assert_allclose(out[:-1, :-2], np.asarray(img)[1:, 2:],
                                rtol=1e-6)
+
+
+def test_sgm_depth_discontinuity_scene():
+    """Step-edge scene: the sub-pixel consistency/un-rectify lookups must
+    not bleed depths across the discontinuity (validity-weighted bilinear
+    falls back to nearest when the 2x2 support disagrees)."""
+    import numpy as np
+
+    dim = 240
+    step_fn = lambda i, j: np.where(i > dim / 2, 7.5, 5.0)
+    scene = make_two_view_scene(dim=dim, rotate=True, texture="noise",
+                                depth_fn=step_fn)
+    d = sgm.reconstruct_auto(
+        scene.cameras[1], scene.cameras[0],
+        jnp.asarray(scene.images[1] * 255.0),
+        jnp.asarray(scene.images[0] * 255.0),
+        range_main=(3.5, 9.5), range_nbr=(3.5, 9.5))
+    d = np.asarray(d)
+    gt = scene.depths[1]
+    mask = (d > 0) & (gt > 0)
+    rel = np.abs(d - gt) / np.maximum(gt, 1e-9)
+    assert mask.mean() > 0.7
+    assert np.median(rel[mask]) < 0.01
+    # within 8 px of the edge: no gross depth bleeding
+    xs = np.arange(dim)[None, :] * np.ones((dim, 1))
+    edge = (np.abs(xs - dim / 2) < 8) & mask
+    assert np.median(rel[edge]) < 0.01
