@@ -86,3 +86,31 @@ res = cg_real(Hb, g, P)
 force(res.x)
 print(f"{'cg real tol':28s} {(time.time()-t0)*1000:8.2f} ms  "
       f"iters={int(res.iterations)}", flush=True)
+
+from smvs_tpu.solver import mg
+
+@jax.jit
+def mg_build(Hb):
+    return mg.build(Hb, active)
+levels = mg_build(Hb)
+force(levels.pinvs[-1])
+t0 = time.time()
+levels = mg_build(Hb)
+force(levels.pinvs[-1])
+print(f"{'mg build':28s} {(time.time()-t0)*1000:8.2f} ms", flush=True)
+
+@jax.jit
+def cg_mg(Hb, g):
+    levels = mg.build(Hb, active)
+    gnorm = jnp.linalg.norm(g.reshape(-1))
+    return cg.solve(lambda x: stencil.spmv(Hb, x), -g,
+                    precond=lambda x: mg.apply(levels, x),
+                    max_iterations=200, error_tolerance=gnorm * 0.01,
+                    q_tolerance=1e-3)
+res = cg_mg(Hb, g)
+force(res.x)
+t0 = time.time()
+res = cg_mg(Hb, g)
+force(res.x)
+print(f"{'cg mg (incl build)':28s} {(time.time()-t0)*1000:8.2f} ms  "
+      f"iters={int(res.iterations)}", flush=True)

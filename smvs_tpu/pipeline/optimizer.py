@@ -22,7 +22,7 @@ import numpy as np
 from smvs_tpu.geometry import correspondence as corr
 from smvs_tpu.image import bilateral, ops as iops
 from smvs_tpu.shading.lighting import fit_lighting
-from smvs_tpu.solver import cg, gn, stencil
+from smvs_tpu.solver import cg, gn, mg, stencil
 from smvs_tpu.surface import bicubic
 from smvs_tpu.surface import state as S
 from smvs_tpu.pipeline.views import StereoViewState
@@ -45,6 +45,13 @@ class OptimizerOptions:
     # TPU-specific knobs
     max_newton_steps: int = 200
     chunk: int = 16384
+    # CG preconditioner: "mg" (Hermite-subdivision geometric multigrid
+    # V-cycle, smvs_tpu/solver/mg.py) or "jacobi" (the reference's inverted
+    # block diagonal, `lib/block_sparse_matrix.h:300-316`). Both use the
+    # same CG termination rules; "mg" converges in a fraction of the
+    # iterations at fine scales, where block-Jacobi (here AND in the
+    # reference — see PERF_NOTES.md) hits the 200-iteration cap.
+    precond: str = "mg"
     # Newton steps without active-set or reprojection-delta improvement
     # before the inner loop exits (see `_newton_loop`).
     stall_limit: int = 8
@@ -481,12 +488,17 @@ def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
             None)
     else:
         g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
-    P = stencil.block_jacobi_inverse(Hb, act)
+    if opts.precond == "mg":
+        levels = mg.build(Hb, act)
+        precond = lambda x: mg.apply(levels, x)  # noqa: E731
+    else:
+        P = stencil.block_jacobi_inverse(Hb, act)
+        precond = lambda x: stencil.apply_block_diag(P, x)  # noqa: E731
     gnorm = jnp.linalg.norm(g.reshape(-1))
     res = cg.solve(
         lambda x: stencil.spmv(Hb, x),
         -g,
-        precond=lambda x: stencil.apply_block_diag(P, x),
+        precond=precond,
         max_iterations=200,
         error_tolerance=gnorm * 0.01,
         q_tolerance=1e-3,
@@ -546,7 +558,7 @@ def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
     rel_step = jnp.max(
         jnp.where(s.node_valid, jnp.abs(delta[..., 0]) / f_safe, 0.0))
     return (s2.nodes, new_active, bad, avg, rel_step,
-            jnp.sum(new_active))
+            jnp.sum(new_active), res.iterations)
 
 
 def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
@@ -557,7 +569,7 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
     to ``max_newton_steps`` while >5% of nodes are active (or, in
     full-optimization mode, while the average reprojection delta exceeds
     0.01) — as one traced while_loop, eliminating per-step host syncs.
-    Returns (nodes, active, steps_taken).
+    Returns (nodes, active, steps_taken, cg_iters_total).
     """
     max_steps = opts.max_newton_steps
     full = opts.full_optimization
@@ -573,10 +585,11 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
         return (steps < max_steps) & more & ~done
 
     def body(state):
-        nodes, active_, steps, _, best_act, best_avg, stall = state
+        (nodes, active_, steps, _, best_act, best_avg, stall,
+         cg_total) = state
         s = dataclasses.replace(surf, nodes=nodes)
-        (new_nodes, new_active, bad, avg, rel_step, n_act) = _newton_step(
-            s, view, vis, active_, opts, lighting)
+        (new_nodes, new_active, bad, avg, rel_step, n_act,
+         cg_iters) = _newton_step(s, view, vis, active_, opts, lighting)
         converged = rel_step < 1e-4  # depth changed by < 0.01%
         # Plateau detection: the reference tolerates a small cluster of
         # never-converging (oscillating) nodes because its per-step cost
@@ -597,13 +610,14 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
             # Active-set criterion plus hard convergence floors.
             done = bad | (avg < 0.002) | converged | stalled
         return (new_nodes, new_active, steps + 1, done, best_act,
-                best_avg, stall)
+                best_avg, stall, cg_total + cg_iters)
 
     init = (surf.nodes, active, jnp.asarray(0, jnp.int32),
             jnp.asarray(False), num_initial + 1, big,
-            jnp.asarray(0, jnp.int32))
-    nodes, active, steps = jax.lax.while_loop(cond, body, init)[:3]
-    return nodes, active, steps
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, init)
+    nodes, active, steps = out[:3]
+    return nodes, active, steps, out[7]
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -627,12 +641,12 @@ def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
                                    node_valid=node_valid,
                                    patch_valid=patch_valid)
 
-    stats0 = jnp.zeros((num_iters, 2), jnp.int32)
+    stats0 = jnp.zeros((num_iters, 3), jnp.int32)
 
     def body(state):
         (nodes, node_valid, patch_valid, vis, it, brk, prev_count,
          finished, stats) = state
-        nodes, _, steps = _newton_loop(
+        nodes, _, steps, cg_total = _newton_loop(
             mk(nodes, node_valid, patch_valid), view, vis, node_valid,
             opts, lighting)
 
@@ -672,6 +686,7 @@ def scale_program(surf: S.Surface, view: gn.ViewSet, vis, sgm_depth,
         finished = finished | conv
         stats = stats.at[it, 0].set(jnp.asarray(steps, jnp.int32))
         stats = stats.at[it, 1].set(jnp.asarray(new_count, jnp.int32))
+        stats = stats.at[it, 2].set(jnp.asarray(cg_total, jnp.int32))
         return (nodes, node_valid, patch_valid, vis, it + 1, finished,
                 new_count, finished, stats)
 
@@ -730,8 +745,9 @@ def run_newton_iterations(
         for it in range(opts.num_iterations):
             if it > 0 and st[it].sum() == 0:
                 break
+            avg_cg = st[it, 2] / max(int(st[it, 0]), 1)
             log(f"  iter {it}: {st[it, 0]} newton steps, "
-                f"{st[it, 1]} patches")
+                f"{st[it, 1]} patches, {avg_cg:.0f} cg iters/step")
     return surf
 
 

@@ -253,6 +253,122 @@ def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
     )(cost, p2a, acc)
 
 
+def _fused_kernel_batch(reverse: bool, nb: int, shifts: tuple, p1: int,
+                        cost_ref, p2a_ref, acc_ref, out_ref, *prev_refs):
+    """`_fused_kernel` over `nb` independent problems per grid step.
+
+    Blocks are [nb, L, D] (one scan position of each problem); scratch is
+    one [nb, L, D] carried line per path, indexed per problem. Batching
+    independent problems (the two bidirectional SGM runs) amortizes the
+    fixed per-grid-step latency — the measured bottleneck of the fused
+    pass (~21us/step, latency- not bandwidth-bound; PERF_NOTES.md).
+    """
+    x = pl.program_id(0)
+
+    def init():
+        for b in range(nb):
+            cost = cost_ref[b].astype(jnp.int32)
+            acc = acc_ref[b].astype(jnp.int32)
+            out_ref[b] = (acc + cost * len(shifts)).astype(out_ref.dtype)
+            for pr in prev_refs:
+                pr[b] = cost
+
+    def step():
+        for b in range(nb):
+            cost = cost_ref[b].astype(jnp.int32)
+            total = acc_ref[b].astype(jnp.int32)
+            for k, (shift, pr) in enumerate(zip(shifts, prev_refs)):
+                prev = pr[b]
+                if shift:
+                    L = prev.shape[0]
+                    prev = pltpu.roll(prev, shift % L, axis=0)
+                    row_ids = jax.lax.broadcasted_iota(
+                        jnp.int32, prev.shape, 0)
+                    border = row_ids == (0 if shift > 0 else L - 1)
+                    prev = jnp.where(border, BIG, prev)
+                new = _min_plus(prev, cost, p1, p2a_ref[b, :, k:k + 1], BIG)
+                pr[b] = new
+                total = total + new
+            out_ref[b] = total.astype(out_ref.dtype)
+
+    pl.when(x == 0)(init)
+    pl.when(x > 0)(step)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("reverse", "shifts", "p1", "p2", "interpret"))
+def _fused_pass_batch(cost: jnp.ndarray, inten: jnp.ndarray,
+                      acc: jnp.ndarray, reverse: bool, shifts: tuple,
+                      p1: int, p2: int, interpret: bool = False
+                      ) -> jnp.ndarray:
+    """One scan sweep of len(shifts) paths over a BATCH of problems.
+
+    cost/acc: [B, X, L, D] int16 scanned along X; inten: [B, X, L] int32.
+    Same recurrence as `_fused_pass`, with all B problems advanced at each
+    grid step (independent carried lines per problem).
+    """
+    B, X, L, D = cost.shape
+    nblk = X
+
+    def idx(x):
+        return nblk - 1 - x if reverse else x
+
+    p2a = jax.vmap(
+        lambda i: _adaptive_p2_planes(i, reverse, shifts, p1, p2))(inten)
+
+    # Scan axis leading for contiguous [L, D] tiles: [X, B, L, D].
+    cost_t = jnp.swapaxes(cost, 0, 1)
+    acc_t = jnp.swapaxes(acc, 0, 1)
+    p2a_t = jnp.swapaxes(p2a, 0, 1)
+
+    vol_spec = pl.BlockSpec((None, B, L, D), lambda x: (idx(x), 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    p2a_spec = pl.BlockSpec((None, B, L, len(shifts)),
+                            lambda x: (idx(x), 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel_batch, reverse, B, shifts, p1),
+        grid=(nblk,),
+        in_specs=[vol_spec, p2a_spec, vol_spec],
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct(cost_t.shape, cost.dtype),
+        scratch_shapes=[pltpu.VMEM((B, L, D), jnp.int32) for _ in shifts],
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(cost_t, p2a_t, acc_t)
+    return jnp.swapaxes(out, 0, 1)
+
+
+def aggregate_batch(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int,
+                    p2: int, interpret: bool = False) -> jnp.ndarray:
+    """All 8 SGM paths for a BATCH of cost volumes, four fused passes.
+
+    cost: [B, H, W, D] integer census costs; intensity [B, H, W]. Same
+    result as :func:`aggregate` per problem (asserted in tests); one shared
+    grid walk advances every problem at each scan position, so B
+    bidirectional sweeps cost barely more wall-clock than one.
+    """
+    B, H, W, D = cost.shape
+    c16 = cost.astype(jnp.int16)
+    inten = intensity.astype(jnp.int32)
+    ph, pw = (-H) % 8, (-W) % 8
+    if ph or pw:
+        c16 = jnp.pad(c16, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        inten = jnp.pad(inten, ((0, 0), (0, ph), (0, pw)))
+    ct = jnp.swapaxes(c16, 1, 2)  # [B, W, H, D]
+    it = jnp.swapaxes(inten, 1, 2)
+    acc_t = _fused_pass_batch(ct, it, jnp.zeros_like(ct), False, (0,),
+                              p1, p2, interpret)
+    acc_t = _fused_pass_batch(ct, it, acc_t, True, (0,), p1, p2, interpret)
+    acc = jnp.swapaxes(acc_t, 1, 2)
+    acc = _fused_pass_batch(c16, inten, acc, False, (0, 1, -1), p1, p2,
+                            interpret)
+    acc = _fused_pass_batch(c16, inten, acc, True, (0, 1, -1), p1, p2,
+                            interpret)
+    return acc[:, :H, :W] if (ph or pw) else acc
+
+
 def aggregate(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int, p2: int,
               interpret: bool = False) -> jnp.ndarray:
     """All 8 SGM paths in four fused int16 passes.

@@ -434,19 +434,24 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
     m_hi, m_lo = census_transform(main_r)
     n_hi, n_lo = census_transform(nbr_r)
 
-    def run_dir(a_hi, a_lo, b_img, inten, sgn):
-        cost_fn = _disparity_cost_interp if cost_interp else _disparity_cost
-        cost = cost_fn(a_hi, a_lo, b_img, sgn * shifts)
-        if use_pallas:
-            from smvs_tpu.sgm import pallas_agg
+    cost_fn = _disparity_cost_interp if cost_interp else _disparity_cost
+    cost_m = cost_fn(m_hi, m_lo, nbr_r, shifts)
+    cost_n = cost_fn(n_hi, n_lo, main_r, -shifts)
+    if use_pallas:
+        from smvs_tpu.sgm import pallas_agg
 
-            agg = pallas_agg.aggregate(cost, inten.astype(jnp.int32), p1, p2)
-        else:
-            agg = aggregate(cost, inten, p1, p2)
-        return _wta_subpixel(agg, cost, inten, disp0, dstep)
-
-    disp_m, ok_m = run_dir(m_hi, m_lo, nbr_r, main_r, 1)
-    disp_n, ok_n = run_dir(n_hi, n_lo, main_r, nbr_r, -1)
+        # Both bidirectional sweeps ride ONE batched kernel walk: the
+        # fused pass is grid-step-latency-bound (PERF_NOTES.md), so two
+        # independent problems per step cost barely more than one.
+        agg2 = pallas_agg.aggregate_batch(
+            jnp.stack([cost_m, cost_n]),
+            jnp.stack([main_r, nbr_r]).astype(jnp.int32), p1, p2)
+        agg_m, agg_n = agg2[0], agg2[1]
+    else:
+        agg_m = aggregate(cost_m, main_r, p1, p2)
+        agg_n = aggregate(cost_n, nbr_r, p1, p2)
+    disp_m, ok_m = _wta_subpixel(agg_m, cost_m, main_r, disp0, dstep)
+    disp_n, ok_n = _wta_subpixel(agg_n, cost_n, nbr_r, disp0, dstep)
 
     # Bidirectional consistency (reference `reconstruct`, :64-91): the
     # matched neighbor pixel must see a compatible depth (ratio >= 0.8)

@@ -100,3 +100,17 @@ def test_fused_pass_xb_batching_matches_xb1():
                     cost, inten, acc, reverse, shifts, 6, 96,
                     interpret=True, xb=xb))
                 np.testing.assert_array_equal(got, want)
+
+
+def test_aggregate_batch_matches_per_problem():
+    """The batched kernel (both bidirectional sweeps per grid step) must be
+    bit-identical to aggregating each problem alone."""
+    c0, i0 = _random_volume(10, 12, 24, seed=4)
+    c1, i1 = _random_volume(10, 12, 24, seed=5)
+    cost = jnp.stack([c0, c1])
+    inten = jnp.stack([i0, i1])
+    got = np.asarray(pallas_agg.aggregate_batch(cost, inten, 6, 96,
+                                                interpret=True))
+    for b, (c, i) in enumerate(((c0, i0), (c1, i1))):
+        want = np.asarray(pallas_agg.aggregate(c, i, 6, 96, interpret=True))
+        np.testing.assert_array_equal(got[b], want)
