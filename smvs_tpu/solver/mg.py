@@ -50,8 +50,17 @@ import numpy as np
 from smvs_tpu.solver import stencil
 
 # Smoother damping (see module docstring). 0.8 measured best in
-# tests/test_mg.py; divergence starts beyond ~0.93.
+# tests/test_mg.py; divergence starts beyond ~0.93. Per-level damping is
+# additionally clamped at build time by a power-iteration estimate of
+# lambda_max(D^-1 A) so an unusually stiff assembled system cannot make the
+# smoother divergent (which would render the V-cycle indefinite and break
+# PCG down silently).
 OMEGA = 0.8
+# Safety margin for the omega clamp: omega_l <= SAFE_FRACTION * 2 / lam_est,
+# with lam_est inflated to cover power-iteration underestimation.
+_LAM_INFLATE = 1.1
+_SAFE_NUMERATOR = 1.85
+_POWER_ITERS = 8
 # Damped-Jacobi sweeps on the coarsest grid (<= 8x8 nodes).
 COARSE_SWEEPS = 8
 
@@ -228,6 +237,8 @@ class Levels(NamedTuple):
     ops: tuple  # stencil tensors [3, 3, 4, 4, ny1_l, nx1_l]
     pinvs: tuple  # block-Jacobi inverses [4, 4, ny1_l, nx1_l]
     shapes: tuple  # (ny1, nx1) per level
+    omegas: tuple  # per-level smoother damping (traced scalars)
+    active: jnp.ndarray | None = None  # fine-level active mask [ny1, nx1]
 
 
 def num_levels(ny1: int, nx1: int, min_size: int = 8) -> int:
@@ -238,29 +249,70 @@ def num_levels(ny1: int, nx1: int, min_size: int = 8) -> int:
     return n
 
 
+def _lambda_max_est(Hb: jnp.ndarray, pinv: jnp.ndarray,
+                    iters: int = _POWER_ITERS) -> jnp.ndarray:
+    """Power-iteration estimate of lambda_max(D^-1 A) for one level.
+
+    D^-1 A is similar to the symmetric D^-1/2 A D^-1/2, so its spectrum is
+    real and the plain power method converges on the dominant eigenvalue.
+    A deterministic rough-start vector (alternating signs across nodes and
+    channels) has generic overlap with the dominant mode; ``iters`` steps
+    put the estimate within a few percent, and the caller inflates it
+    before use. Returns a traced scalar (>= 0; 0 for an all-zero system).
+    """
+    ny1, nx1 = Hb.shape[-2:]
+    c = jnp.arange(4).reshape(4, 1, 1)
+    iy = jnp.arange(ny1).reshape(1, ny1, 1)
+    ix = jnp.arange(nx1).reshape(1, 1, nx1)
+    v = (1.0 - 2.0 * ((c + iy + ix) % 2)).astype(Hb.dtype)
+    lam = jnp.zeros((), Hb.dtype)
+    for _ in range(iters):
+        w = stencil.apply_block_diag(pinv, stencil.spmv(Hb, v))
+        nrm = jnp.linalg.norm(w.reshape(-1))
+        lam = nrm  # v is unit-norm from the previous step
+        v = w / jnp.maximum(nrm, 1e-30)
+    return lam
+
+
+def _level_omega(Hb: jnp.ndarray, pinv: jnp.ndarray) -> jnp.ndarray:
+    """Per-level damping: OMEGA, clamped so omega * lam_est stays < 2."""
+    lam = _lambda_max_est(Hb, pinv) * _LAM_INFLATE
+    safe = _SAFE_NUMERATOR / jnp.maximum(lam, 1e-6)
+    return jnp.minimum(jnp.asarray(OMEGA, Hb.dtype), safe)
+
+
 def build(Hb: jnp.ndarray, active: jnp.ndarray, min_size: int = 8) -> Levels:
     """Build the V-cycle hierarchy for one assembled system.
 
     A coarse node is "active" if any fine node in its transfer support is
     (its Galerkin diagonal is then nonsingular); singular/inactive coarse
-    blocks invert to zero exactly like the fine block-Jacobi guard.
+    blocks invert to zero exactly like the fine block-Jacobi guard. The
+    fine-level ``active`` mask is kept so :func:`apply` can project the
+    preconditioner onto the active subspace (inactive nodes have zero
+    H rows/cols and zero gradient, so CG never controls components the
+    V-cycle would otherwise smear onto them through the transfers).
     """
     ny1, nx1 = Hb.shape[-2:]
+    pinv0 = stencil.block_jacobi_inverse(Hb, active)
     ops = [Hb]
-    pinvs = [stencil.block_jacobi_inverse(Hb, active)]
+    pinvs = [pinv0]
     shapes = [(ny1, nx1)]
+    omegas = [_level_omega(Hb, pinv0)]
     act = active
     for _ in range(num_levels(ny1, nx1, min_size) - 1):
         Hb = galerkin_coarse(Hb)
         act = restrict_mask(act)
+        pinv = stencil.block_jacobi_inverse(Hb, act)
         ops.append(Hb)
-        pinvs.append(stencil.block_jacobi_inverse(Hb, act))
+        pinvs.append(pinv)
         shapes.append(Hb.shape[-2:])
-    return Levels(ops=tuple(ops), pinvs=tuple(pinvs), shapes=tuple(shapes))
+        omegas.append(_level_omega(Hb, pinv))
+    return Levels(ops=tuple(ops), pinvs=tuple(pinvs), shapes=tuple(shapes),
+                  omegas=tuple(omegas), active=active)
 
 
 def _smooth(levels: Levels, l: int, r: jnp.ndarray) -> jnp.ndarray:
-    return OMEGA * stencil.apply_block_diag(levels.pinvs[l], r)
+    return levels.omegas[l] * stencil.apply_block_diag(levels.pinvs[l], r)
 
 
 def apply(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
@@ -270,7 +322,15 @@ def apply(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
     coarse corrections, COARSE_SWEEPS damped-Jacobi sweeps at the coarsest
     level. Symmetric by construction (identical pre/post smoother,
     restrict = prolong^T, fixed coarsest sweep count) and positive definite
-    for OMEGA < 2 / lambda_max(D^-1 A) — see the OMEGA note above.
+    for omega_l < 2 / lambda_max(D^-1 A_l) — enforced per level at build
+    time (see `_level_omega`).
+
+    The result is projected onto the fine active subspace (z * active):
+    the prolongation would otherwise spread coarse corrections onto
+    inactive-but-valid fine nodes whose H rows/cols and gradient are zero,
+    so CG's x would accumulate uncontrolled null-space components there
+    and `update_nodes` would apply spurious depth updates to frozen nodes.
+    Pi M Pi remains symmetric PSD and the CG residual stays in range(Pi).
     """
 
     def cycle(l: int, rl: jnp.ndarray) -> jnp.ndarray:
@@ -286,4 +346,9 @@ def apply(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
         z = z + prolong(zc, levels.shapes[l][0], levels.shapes[l][1])
         return z + _smooth(levels, l, rl - stencil.spmv(A, z))
 
-    return cycle(0, r)
+    if levels.active is not None:
+        r = jnp.where(levels.active[None], r, 0.0)
+    z = cycle(0, r)
+    if levels.active is not None:
+        z = jnp.where(levels.active[None], z, 0.0)
+    return z

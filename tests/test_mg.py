@@ -124,8 +124,11 @@ def test_mg_beats_jacobi_on_assembled_system():
     levels = mg.build(Hb, active)
     it_m, xm = _cg_iters(Hb, g, active, lambda x: mg.apply(levels, x))
 
-    assert it_j == 200  # block-Jacobi caps, here as in the reference
-    assert it_m < 100, (it_m, it_j)
+    # Block-Jacobi should burn most of its budget (the reference caps at
+    # 200 here too); mg must cut that by at least 2x. A ratio, not exact
+    # cap equality — benign assembly/CG changes shouldn't fail this.
+    assert it_j > 150, it_j
+    assert it_m < it_j // 2, (it_m, it_j)
 
     rj = jnp.linalg.norm((stencil.spmv(Hb, xj) + g).reshape(-1))
     rm = jnp.linalg.norm((stencil.spmv(Hb, xm) + g).reshape(-1))
