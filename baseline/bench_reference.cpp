@@ -72,6 +72,17 @@ load_cam (std::string const& path)
     return cam;
 }
 
+void
+save_f32 (std::string const& path, mve::FloatImage::ConstPtr img)
+{
+    std::ofstream f(path, std::ios::binary);
+    int32_t const w = img->width(), h = img->height();
+    f.write(reinterpret_cast<char const*>(&w), 4);
+    f.write(reinterpret_cast<char const*>(&h), 4);
+    f.write(reinterpret_cast<char const*>(&img->at(0)),
+        std::size_t(w) * h * 4);
+}
+
 std::vector<double>
 load_f64 (std::string const& path, int* w_out, int* h_out)
 {
@@ -115,6 +126,7 @@ main (int argc, char** argv)
     double alpha = 0.01;
     double light_reg = 0.0;
     std::string init_file;
+    std::string dump_file;
     std::vector<int> sub_ids;
 
     for (int i = 1; i < argc; ++i)
@@ -122,6 +134,7 @@ main (int argc, char** argv)
         std::string const a = argv[i];
         if (a == "--shading") shading = true;
         else if (a == "--init") init_file = argv[++i];
+        else if (a == "--dump") dump_file = argv[++i];
         else if (a == "--min-depth") sgm_min = std::atof(argv[++i]);
         else if (a == "--max-depth") sgm_max = std::atof(argv[++i]);
         else if (a == "--min-scale") min_scale = std::atoi(argv[++i]);
@@ -233,6 +246,8 @@ main (int argc, char** argv)
     optimizer.optimize();
     mve::FloatImage::Ptr depth = optimizer.get_depth();
     double const t_opt = now_sec() - t1;
+    if (!dump_file.empty())
+        save_f32(dump_file, depth);
 
     /* ---- accuracy vs analytic ground truth ---- */
     int gw = 0, gh = 0;

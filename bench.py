@@ -84,6 +84,8 @@ def run_shading_once(dim, min_scale, verbose=True):
         regularization=0.01, light_surf_regularization=0.0,
         num_iterations=5, min_scale=min_scale, use_sgm=True,
         use_shading=True, full_optimization=False,
+        precond=os.environ.get("SMVS_PRECOND",
+                               O.OptimizerOptions.precond),
     )
     result = O.optimize_view(main_v, subs, opts, sgm_depth=sgm_depth,
                              log=log if verbose else None)
@@ -135,6 +137,8 @@ def run_once(dim, min_scale, verbose=True):
     opts = O.OptimizerOptions(
         regularization=0.01, num_iterations=5, min_scale=min_scale,
         use_sgm=True, full_optimization=False,
+        precond=os.environ.get("SMVS_PRECOND",
+                               O.OptimizerOptions.precond),
     )
     result = O.optimize_view(main_v, [sub_v], opts, sgm_depth=sgm_depth,
                              log=log if verbose else None)

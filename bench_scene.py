@@ -1,0 +1,137 @@
+"""Scene-level end-to-end benchmark (BASELINE.md config-2 analog).
+
+A 10-view synthetic scene (analytic world plane, 2 neighbors per view)
+through the BATCHED per-view pipeline (`pipeline/batch.py`) on the default
+device: per-view SGM init (one compiled program reused across all views)
+followed by `optimize_view_batch` groups — the TPU analog of the
+reference's thread-pool fanout (`app/smvsrecon.cc:652-735`).
+
+Measures what the single-view bench cannot: compile amortization across a
+realistic scene, shape-bucketed batching, and scene throughput (views/s,
+MP/s). Prints ONE JSON line.
+
+Env: SMVS_SCENE_DIM (default 720), SMVS_SCENE_VIEWS (10),
+SMVS_SCENE_BATCH (5), SMVS_SCENE_MIN_SCALE (2).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smvs_tpu.core.synthetic import make_plane_scene
+    from smvs_tpu.pipeline import batch as VB
+    from smvs_tpu.pipeline import optimizer as O
+    from smvs_tpu.pipeline.views import make_view
+    from smvs_tpu.sgm import stereo as sgm
+
+    dim = int(os.environ.get("SMVS_SCENE_DIM", "720"))
+    n_views = int(os.environ.get("SMVS_SCENE_VIEWS", "10"))
+    group = int(os.environ.get("SMVS_SCENE_BATCH", "5"))
+    min_scale = int(os.environ.get("SMVS_SCENE_MIN_SCALE", "2"))
+    log(f"scene bench: devices={jax.devices()} dim={dim} views={n_views} "
+        f"group={group} min_scale={min_scale}")
+
+    scene = make_plane_scene(n_views=n_views, dim=dim)
+    views = [make_view(scene.cameras[i], scene.images[i], view_id=i)
+             for i in range(n_views)]
+    np.asarray(views[-1].image[0, 0])
+
+    def neighbors(i):
+        cand = [j for j in range(n_views) if j != i]
+        cand.sort(key=lambda j: abs(j - i))
+        return cand[:2]
+
+    t_start = time.time()
+    # --- per-view SGM init (reference app:347-384: <=2 neighbors avg) ---
+    t0 = time.time()
+    sgm_depths = []
+    for i in range(n_views):
+        acc = None
+        for j in neighbors(i):
+            d = np.asarray(sgm.reconstruct_auto(
+                scene.cameras[i], scene.cameras[j],
+                views[i].image * 255.0, views[j].image * 255.0,
+                range_main=(3.4, 6.6), range_nbr=(3.4, 6.6)))
+            if acc is None:
+                acc = d
+            else:
+                both = (acc > 0) & (d > 0)
+                only2 = (acc == 0) & (d > 0)
+                acc = np.where(both, (acc + d) * 0.5,
+                               np.where(only2, d, acc))
+        sgm_depths.append(jnp.asarray(acc))
+    np.asarray(sgm_depths[-1][0, 0])
+    t_sgm = time.time() - t0
+    log(f"sgm init: {t_sgm:.2f}s ({n_views} views x 2 neighbors)")
+
+    # --- batched optimization (groups share one compiled program) -------
+    opts = O.OptimizerOptions(
+        regularization=0.01, num_iterations=5, min_scale=min_scale,
+        use_sgm=True, full_optimization=False,
+    )
+    t0 = time.time()
+    results = [None] * n_views
+    for g0 in range(0, n_views, group):
+        idx = list(range(g0, min(g0 + group, n_views)))
+        mains = [views[i] for i in idx]
+        subs_list = [[views[j] for j in neighbors(i)] for i in idx]
+        out = VB.optimize_view_batch(
+            mains, subs_list, opts,
+            sgm_depths=[sgm_depths[i] for i in idx])
+        for k, i in enumerate(idx):
+            results[i] = out[k]
+        log(f"group {idx}: done at {time.time()-t0:.2f}s")
+    np.asarray(results[-1].depth[0, 0])
+    t_opt = time.time() - t0
+    total = time.time() - t_start
+
+    # --- accuracy vs analytic ground truth ------------------------------
+    covs, errs = [], []
+    for i in range(n_views):
+        depth = np.asarray(results[i].depth)
+        mask = depth > 0
+        gt = scene.depths[i]
+        covs.append(float(mask.mean()))
+        errs.append(float(np.median(
+            np.abs(depth[mask] - gt[mask]) / gt[mask])))
+    cov = float(np.mean(covs))
+    err = float(np.median(errs))
+
+    mp_total = n_views * dim * dim / 1e6
+    out = {
+        "metric": "scene_throughput",
+        "value": round(n_views / total, 4),
+        "unit": "views/s",
+        "mps": round(mp_total / total, 4),
+        "dim": dim, "views": n_views, "group": group,
+        "t_sgm_s": round(t_sgm, 2), "t_opt_s": round(t_opt, 2),
+        "t_total_s": round(total, 2),
+        "coverage": round(cov, 4), "median_rel_err": round(err, 6),
+    }
+    log(f"scene: {total:.1f}s total -> {out['value']} views/s, "
+        f"{out['mps']} MP/s, coverage {cov:.1%}, err {err:.5f}")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -340,14 +340,33 @@ def _fused_pass_batch(cost: jnp.ndarray, inten: jnp.ndarray,
     return jnp.swapaxes(out, 0, 1)
 
 
+# Mosaic stack-allocates every live [L, D] int32 tile of the unrolled
+# batch-kernel body: ~ (5 tiles per carried path + 1) per problem, measured
+# from the real-chip scoped-VMEM report (B=2, 3 paths, L=1440, D=128 ->
+# 32 tiles = 23.84 MB against the 16 MB scoped budget; the single-problem
+# kernel's 16 tiles = 11.8 MB fits). Dispatch batched passes only when the
+# model predicts headroom; otherwise run the per-problem kernel, which is
+# validated at 2 MP on hardware. Round 2 shipped the batched kernel without
+# this guard and the bench OOMed — do not remove it on "should fit" logic;
+# re-measure on the chip instead.
+_VMEM_STACK_BUDGET = 14 * 1024 * 1024
+
+
+def _batch_fits(B: int, L: int, D: int, n_shifts: int) -> bool:
+    tiles = B * (5 * n_shifts + 1)
+    return tiles * L * D * 4 <= _VMEM_STACK_BUDGET
+
+
 def aggregate_batch(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int,
                     p2: int, interpret: bool = False) -> jnp.ndarray:
     """All 8 SGM paths for a BATCH of cost volumes, four fused passes.
 
     cost: [B, H, W, D] integer census costs; intensity [B, H, W]. Same
     result as :func:`aggregate` per problem (asserted in tests); one shared
-    grid walk advances every problem at each scan position, so B
-    bidirectional sweeps cost barely more wall-clock than one.
+    grid walk advances every problem at each scan position (amortizing the
+    per-grid-step latency that bounds the fused pass), falling back to
+    per-problem passes whenever the batched kernel's VMEM stack would
+    exceed the scoped budget (see `_batch_fits`).
     """
     B, H, W, D = cost.shape
     c16 = cost.astype(jnp.int16)
@@ -356,16 +375,23 @@ def aggregate_batch(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int,
     if ph or pw:
         c16 = jnp.pad(c16, ((0, 0), (0, ph), (0, pw), (0, 0)))
         inten = jnp.pad(inten, ((0, 0), (0, ph), (0, pw)))
+
+    def sweep(c, i, acc, reverse, shifts):
+        L = c.shape[2]
+        if _batch_fits(B, L, D, len(shifts)):
+            return _fused_pass_batch(c, i, acc, reverse, shifts, p1, p2,
+                                     interpret)
+        outs = [_fused_pass(c[b], i[b], acc[b], reverse, shifts, p1, p2,
+                            interpret) for b in range(B)]
+        return jnp.stack(outs)
+
     ct = jnp.swapaxes(c16, 1, 2)  # [B, W, H, D]
     it = jnp.swapaxes(inten, 1, 2)
-    acc_t = _fused_pass_batch(ct, it, jnp.zeros_like(ct), False, (0,),
-                              p1, p2, interpret)
-    acc_t = _fused_pass_batch(ct, it, acc_t, True, (0,), p1, p2, interpret)
+    acc_t = sweep(ct, it, jnp.zeros_like(ct), False, (0,))
+    acc_t = sweep(ct, it, acc_t, True, (0,))
     acc = jnp.swapaxes(acc_t, 1, 2)
-    acc = _fused_pass_batch(c16, inten, acc, False, (0, 1, -1), p1, p2,
-                            interpret)
-    acc = _fused_pass_batch(c16, inten, acc, True, (0, 1, -1), p1, p2,
-                            interpret)
+    acc = sweep(c16, inten, acc, False, (0, 1, -1))
+    acc = sweep(c16, inten, acc, True, (0, 1, -1))
     return acc[:, :H, :W] if (ph or pw) else acc
 
 

