@@ -253,6 +253,113 @@ def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
     )(cost, p2a, acc)
 
 
+def _fused_kernel_bidir(shifts: tuple, p1: int,
+                        cost_f_ref, cost_b_ref, p2a_f_ref, p2a_b_ref,
+                        acc_ref, out_f_ref, out_b_ref, *prev_refs):
+    """Forward AND backward sweep in one grid walk.
+
+    Grid step x advances the forward recurrence at scan position x and the
+    backward recurrence at position X-1-x (independent problems — SGM path
+    directions never interact until the final sum), expressed through two
+    index maps over the same volume. Halves the number of sequential grid
+    steps, which is what bounds the fused pass (~21us fixed cost per step,
+    latency- not bandwidth-bound; PERF_NOTES.md). Outputs are disjoint
+    volumes (out_f carries acc + forward paths, out_b the backward paths);
+    the caller adds them with one cheap XLA pass.
+
+    prev_refs: len(shifts) forward carried lines then len(shifts) backward
+    carried lines, [L, D] int32 each.
+    """
+    x = pl.program_id(0)
+    n = len(shifts)
+    f_prev = prev_refs[:n]
+    b_prev = prev_refs[n:]
+
+    def one(cost_ref, p2a_ref, out_ref, prevs, base):
+        cost = cost_ref[:].astype(jnp.int32)
+        total = base
+
+        def init():
+            out_ref[:] = (base + cost * n).astype(out_ref.dtype)
+            for pr in prevs:
+                pr[:] = cost
+
+        def step():
+            t = total
+            for k, (shift, pr) in enumerate(zip(shifts, prevs)):
+                prev = pr[:]
+                if shift:
+                    L = prev.shape[0]
+                    prev = pltpu.roll(prev, shift % L, axis=0)
+                    row_ids = jax.lax.broadcasted_iota(jnp.int32,
+                                                       prev.shape, 0)
+                    border = row_ids == (0 if shift > 0 else L - 1)
+                    prev = jnp.where(border, BIG, prev)
+                new = _min_plus(prev, cost, p1, p2a_ref[:, k:k + 1], BIG)
+                pr[:] = new
+                t = t + new
+            out_ref[:] = t.astype(out_ref.dtype)
+
+        pl.when(x == 0)(init)
+        pl.when(x > 0)(step)
+
+    one(cost_f_ref, p2a_f_ref, out_f_ref, f_prev,
+        acc_ref[:].astype(jnp.int32))
+    one(cost_b_ref, p2a_b_ref, out_b_ref, b_prev,
+        jnp.zeros(cost_b_ref.shape, jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("shifts", "p1", "p2", "interpret"))
+def _fused_pass_bidir(cost: jnp.ndarray, inten: jnp.ndarray,
+                      acc: jnp.ndarray, shifts: tuple, p1: int, p2: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Both scan directions of len(shifts) paths in ONE grid walk.
+
+    cost/acc: [X, L, D] int16; inten [X, L] int32. Equivalent to
+    `_fused_pass(..., False)` then `_fused_pass(..., True)` (asserted in
+    tests) at half the sequential grid steps.
+    """
+    X, L, D = cost.shape
+
+    p2a_f = _adaptive_p2_planes(inten, False, shifts, p1, p2)
+    p2a_b = _adaptive_p2_planes(inten, True, shifts, p1, p2)
+
+    def fwd(x):
+        return (x, 0, 0)
+
+    def bwd(x):
+        return (X - 1 - x, 0, 0)
+
+    def vol(imap):
+        return pl.BlockSpec((None, L, D), imap, memory_space=pltpu.VMEM)
+
+    def pen(imap):
+        return pl.BlockSpec((None, L, len(shifts)), imap,
+                            memory_space=pltpu.VMEM)
+
+    out_f, out_b = pl.pallas_call(
+        functools.partial(_fused_kernel_bidir, shifts, p1),
+        grid=(X,),
+        in_specs=[vol(fwd), vol(bwd), pen(fwd), pen(bwd), vol(fwd)],
+        out_specs=[vol(fwd), vol(bwd)],
+        out_shape=[jax.ShapeDtypeStruct(cost.shape, cost.dtype)] * 2,
+        scratch_shapes=[pltpu.VMEM((L, D), jnp.int32)
+                        for _ in range(2 * len(shifts))],
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(cost, cost, p2a_f, p2a_b, acc)
+    return out_f + out_b
+
+
+def _bidir_fits(L: int, D: int, n_shifts: int) -> bool:
+    """VMEM-stack model for the bidirectional kernel (see `_batch_fits`:
+    ~5 live [L, D] int32 tiles per carried path + 1, and the bidirectional
+    body carries 2*n_shifts paths)."""
+    tiles = 2 * (5 * n_shifts + 1)
+    return tiles * L * D * 4 <= _VMEM_STACK_BUDGET
+
+
 def _fused_kernel_batch(reverse: bool, nb: int, shifts: tuple, p1: int,
                         cost_ref, p2a_ref, acc_ref, out_ref, *prev_refs):
     """`_fused_kernel` over `nb` independent problems per grid step.
@@ -376,22 +483,34 @@ def aggregate_batch(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int,
         c16 = jnp.pad(c16, ((0, 0), (0, ph), (0, pw), (0, 0)))
         inten = jnp.pad(inten, ((0, 0), (0, ph), (0, pw)))
 
-    def sweep(c, i, acc, reverse, shifts):
+    def sweep_both(c, i, acc, shifts):
+        """Forward + backward sweep of `shifts` paths for every problem,
+        picking the widest kernel whose VMEM-stack model predicts headroom:
+        batched per-direction > per-problem bidirectional > per-problem
+        per-direction."""
         L = c.shape[2]
         if _batch_fits(B, L, D, len(shifts)):
-            return _fused_pass_batch(c, i, acc, reverse, shifts, p1, p2,
+            acc = _fused_pass_batch(c, i, acc, False, shifts, p1, p2,
+                                    interpret)
+            return _fused_pass_batch(c, i, acc, True, shifts, p1, p2,
                                      interpret)
-        outs = [_fused_pass(c[b], i[b], acc[b], reverse, shifts, p1, p2,
-                            interpret) for b in range(B)]
+        if _bidir_fits(L, D, len(shifts)):
+            return jnp.stack([
+                _fused_pass_bidir(c[b], i[b], acc[b], shifts, p1, p2,
+                                  interpret) for b in range(B)])
+        outs = []
+        for b in range(B):
+            a = _fused_pass(c[b], i[b], acc[b], False, shifts, p1, p2,
+                            interpret)
+            outs.append(_fused_pass(c[b], i[b], a, True, shifts, p1, p2,
+                                    interpret))
         return jnp.stack(outs)
 
     ct = jnp.swapaxes(c16, 1, 2)  # [B, W, H, D]
     it = jnp.swapaxes(inten, 1, 2)
-    acc_t = sweep(ct, it, jnp.zeros_like(ct), False, (0,))
-    acc_t = sweep(ct, it, acc_t, True, (0,))
+    acc_t = sweep_both(ct, it, jnp.zeros_like(ct), (0,))
     acc = jnp.swapaxes(acc_t, 1, 2)
-    acc = sweep(c16, inten, acc, False, (0, 1, -1))
-    acc = sweep(c16, inten, acc, True, (0, 1, -1))
+    acc = sweep_both(c16, inten, acc, (0, 1, -1))
     return acc[:, :H, :W] if (ph or pw) else acc
 
 
@@ -419,11 +538,15 @@ def aggregate(cost: jnp.ndarray, intensity: jnp.ndarray, p1: int, p2: int,
     # XLA transpose instead of per-block relayouts inside the kernel).
     ct = jnp.swapaxes(c16, 0, 1)  # [W, H, D]
     it = inten.T
-    acc_t = _fused_pass(ct, it, jnp.zeros_like(ct), False, (0,), p1, p2,
-                        interpret)
-    acc_t = _fused_pass(ct, it, acc_t, True, (0,), p1, p2, interpret)
+
+    def sweep_both(c, i, acc, shifts):
+        if _bidir_fits(c.shape[1], D, len(shifts)):
+            return _fused_pass_bidir(c, i, acc, shifts, p1, p2, interpret)
+        acc = _fused_pass(c, i, acc, False, shifts, p1, p2, interpret)
+        return _fused_pass(c, i, acc, True, shifts, p1, p2, interpret)
+
+    acc_t = sweep_both(ct, it, jnp.zeros_like(ct), (0,))
     # Vertical + both diagonals: scan over y, lines = columns.
     acc = jnp.swapaxes(acc_t, 0, 1)
-    acc = _fused_pass(c16, inten, acc, False, (0, 1, -1), p1, p2, interpret)
-    acc = _fused_pass(c16, inten, acc, True, (0, 1, -1), p1, p2, interpret)
+    acc = sweep_both(c16, inten, acc, (0, 1, -1))
     return acc[:H, :W] if (ph or pw) else acc

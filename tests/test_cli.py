@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from smvs_tpu.core.synthetic import make_two_view_scene, save_as_mve_scene
 from smvs_tpu import cli
 from smvs_tpu.mesh.ply import load_ply

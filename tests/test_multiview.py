@@ -4,6 +4,9 @@ visibility, which two-view tests cannot reach."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from smvs_tpu.core.synthetic import make_plane_scene
 from smvs_tpu.pipeline import optimizer as O

@@ -10,6 +10,9 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from smvs_tpu.core.synthetic import make_two_view_scene
 from smvs_tpu.pipeline import optimizer as O

@@ -102,6 +102,24 @@ def test_fused_pass_xb_batching_matches_xb1():
                 np.testing.assert_array_equal(got, want)
 
 
+def test_fused_pass_bidir_matches_two_passes():
+    """One bidirectional grid walk (forward at x, backward at X-1-x) must
+    be bit-identical to the forward pass followed by the backward pass."""
+    h, w, d = 10, 12, 16
+    rng = np.random.default_rng(8)
+    cost = jnp.asarray(rng.integers(0, 63, size=(h, w, d)), jnp.int16)
+    inten = jnp.asarray(rng.integers(0, 255, size=(h, w)), jnp.int32)
+    acc = jnp.asarray(rng.integers(0, 500, size=(h, w, d)), jnp.int16)
+    for shifts in ((0,), (0, 1, -1)):
+        a = pallas_agg._fused_pass(cost, inten, acc, False, shifts, 6, 96,
+                                   interpret=True)
+        want = np.asarray(pallas_agg._fused_pass(
+            cost, inten, a, True, shifts, 6, 96, interpret=True))
+        got = np.asarray(pallas_agg._fused_pass_bidir(
+            cost, inten, acc, shifts, 6, 96, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
 def test_aggregate_batch_matches_per_problem():
     """The batched kernel (both bidirectional sweeps per grid step) must be
     bit-identical to aggregating each problem alone."""
