@@ -100,6 +100,12 @@ def main():
             sgm_depths=[sgm_depths[i] for i in idx])
         for k, i in enumerate(idx):
             results[i] = out[k]
+        # Force completion before issuing the next group: an unbounded
+        # async queue (a) hides where time goes and (b) keeps running on
+        # the device long after this client dies, wedging the chip for
+        # every later process (observed r3: a killed 10-view run blocked
+        # the TPU for >30 min).
+        np.asarray(out[-1].depth[0, 0])
         log(f"group {idx}: done at {time.time()-t0:.2f}s")
     np.asarray(results[-1].depth[0, 0])
     t_opt = time.time() - t0

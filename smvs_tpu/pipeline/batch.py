@@ -247,6 +247,13 @@ def optimize_view_batch(
                 bsurf2, bview, bvis, bsgm, bmain_img, bsub_imgs, binv_cal,
                 blighting, opts)
             timer.sync(nodes)
+        if log and opts.debug_lvl >= 1:
+            st = np.asarray(stats)  # [V, num_iters, 3]
+            for i in range(V):
+                rows = [f"{int(s)}st/{int(c)}cg" for s, c in
+                        zip(st[i, :, 0], st[i, :, 2]) if s > 0]
+                log(f"  view {i} s{scale}: " + " ".join(rows)
+                    + f" -> {int(st[i, :, 1].max())} patches")
         bsurf2 = dataclasses.replace(bsurf2, nodes=nodes,
                                      node_valid=node_valid,
                                      patch_valid=patch_valid)
