@@ -111,6 +111,21 @@ def main():
     t_opt = time.time() - t0
     total = time.time() - t_start
 
+    # --- warm pass: sustained throughput with all programs resident -----
+    # (the cold pass above pays one-time compile-cache loads and first
+    # executions; a long scene amortizes those, so both numbers matter)
+    t0 = time.time()
+    for g0 in range(0, n_views, group):
+        idx = list(range(g0, min(g0 + group, n_views)))
+        out = VB.optimize_view_batch(
+            [views[i] for i in idx],
+            [[views[j] for j in neighbors(i)] for i in idx],
+            opts, sgm_depths=[sgm_depths[i] for i in idx])
+        np.asarray(out[-1].depth[0, 0])
+    t_warm_opt = time.time() - t0
+    log(f"warm optimize pass: {t_warm_opt:.2f}s "
+        f"({n_views / t_warm_opt:.2f} views/s)")
+
     # --- accuracy vs analytic ground truth ------------------------------
     covs, errs = [], []
     for i in range(n_views):
@@ -132,6 +147,8 @@ def main():
         "dim": dim, "views": n_views, "group": group,
         "t_sgm_s": round(t_sgm, 2), "t_opt_s": round(t_opt, 2),
         "t_total_s": round(total, 2),
+        "t_warm_opt_s": round(t_warm_opt, 2),
+        "warm_views_per_s": round(n_views / t_warm_opt, 4),
         "coverage": round(cov, 4), "median_rel_err": round(err, 6),
     }
     log(f"scene: {total:.1f}s total -> {out['value']} views/s, "
