@@ -81,17 +81,19 @@ def _build_viewset(
         )
         Ms.append(M)
         ts.append(t)
-    shading_grad = shading_image = None
+    shading_gi = None
     if use_shading:
         shading_image, shading_grad = main.shading_images()
+        shading_gi = jnp.moveaxis(
+            jnp.concatenate([shading_grad, shading_image[None]], axis=0),
+            0, -1).astype(dtype)  # [H, W, 3] = (gx, gy, value)
     return gn.ViewSet(
         grad_main=mi.grad.astype(dtype),
         sub_gh=sub_gh,
         M=jnp.asarray(np.stack(Ms), dtype),
         t=jnp.asarray(np.stack(ts), dtype),
         flen=jnp.asarray(main.flen(), dtype),
-        shading_grad=None if shading_grad is None else shading_grad.astype(dtype),
-        shading_image=None if shading_image is None else shading_image.astype(dtype),
+        shading_gi=shading_gi,
     )
 
 

@@ -54,8 +54,11 @@ class ViewSet(NamedTuple):
     M: jnp.ndarray  # [N, 3, 3]
     t: jnp.ndarray  # [N, 3]
     flen: jnp.ndarray  # scalar, pixels
-    shading_grad: Any = None  # [2, H, W] gradients of linear shading image
-    shading_image: Any = None  # [H, W]
+    # Linear shading image packed channels-last with its gradients:
+    # [H, W, 3] = (gx, gy, value). One windowed row-gather serves all
+    # three shading-term samples (12 scalar gathers otherwise — measured
+    # dominant in the flagship s2 Newton step).
+    shading_gi: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,11 +225,9 @@ def _patch_residuals(
         shading_safe = jnp.where(jnp.abs(shading) < 1e-10, 1.0, shading)
         render_grad = shading_grad / shading_safe[:, None]
 
-        lin_grad = _nan0(jnp.stack(
-            [iops.bilinear(view.shading_grad[0], pix_u - 0.5, pix_v - 0.5),
-             iops.bilinear(view.shading_grad[1], pix_u - 0.5, pix_v - 0.5)],
-            axis=-1))
-        lin_val = iops.bilinear(view.shading_image, pix_u - 0.5, pix_v - 0.5)
+        gi = iops.sample_window(view.shading_gi, pix_u - 0.5, pix_v - 0.5)
+        lin_grad = _nan0(gi[..., :2])
+        lin_val = gi[..., 2]
         lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
         shading_res = render_grad - lin_grad / lin_safe[:, None]
         res.append(shading_res)  # [P, 2]
@@ -486,11 +487,9 @@ def patch_grad_hessian_analytic(
     shading = lin_grad = lin_val = shading_res = None
     if lighting is not None:
         inv_flen = 1.0 / view.flen
-        lin_grad = _nan0(jnp.stack(
-            [iops.bilinear(view.shading_grad[0], pix_u - 0.5, pix_v - 0.5),
-             iops.bilinear(view.shading_grad[1], pix_u - 0.5, pix_v - 0.5)],
-            axis=-1))
-        lin_val = iops.bilinear(view.shading_image, pix_u - 0.5, pix_v - 0.5)
+        gi = iops.sample_window(view.shading_gi, pix_u - 0.5, pix_v - 0.5)
+        lin_grad = _nan0(gi[..., :2])
+        lin_val = gi[..., 2]
         lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
         lin_term = lin_grad / lin_safe[:, None]
 
@@ -676,11 +675,9 @@ def _assemble_flat(
     # --- shading term -------------------------------------------------------
     if lighting is not None:
         inv_flen = 1.0 / view.flen
-        lin_grad = _nan0(jnp.stack(
-            [iops.bilinear(view.shading_grad[0], pix_u - 0.5, pix_v - 0.5),
-             iops.bilinear(view.shading_grad[1], pix_u - 0.5, pix_v - 0.5)],
-            axis=-1))
-        lin_val = iops.bilinear(view.shading_image, pix_u - 0.5, pix_v - 0.5)
+        gi = iops.sample_window(view.shading_gi, pix_u - 0.5, pix_v - 0.5)
+        lin_grad = _nan0(gi[..., :2])
+        lin_val = gi[..., 2]
         lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
         lin_term = lin_grad / lin_safe[..., None]
 
