@@ -49,14 +49,15 @@ import numpy as np
 
 from smvs_tpu.solver import stencil
 
-# Smoother damping (see module docstring). 0.8 measured best in
-# tests/test_mg.py; divergence starts beyond ~0.93. A stiff system that
-# makes 0.8 divergent is handled by the per-application indefiniteness
-# guard in `apply` (block-Jacobi fallback when <r, z> <= 0), NOT by
-# clamping omega from a spectral estimate — a few near-singular blocks
-# dominate lambda_max(D^-1 A) on weakly-determined systems and a global
-# clamp guts the smoother everywhere (measured on the Lambertian-sphere
-# shading test: 2.3% -> 11.9% median depth error).
+# Smoother damping ceiling (see module docstring). 0.8 measured best in
+# tests/test_mg.py; divergence starts beyond ~0.93. Each node's damping
+# is clamped LOCALLY by a Gershgorin-style block-row bound
+# (`_node_omega`): a global spectral clamp lets a few near-singular
+# blocks gut the smoother everywhere (Lambertian-sphere shading test:
+# 2.3% -> 11.9% median depth error), while NO clamp makes the V-cycle
+# indefinite on the base bench's stiff coarse scales (CG 2 -> 84
+# iters/step). The per-application <r, z> <= 0 guard in `apply` remains
+# as the last line of defense.
 OMEGA = 0.8
 # Damped-Jacobi sweeps on the coarsest grid (<= 8x8 nodes).
 COARSE_SWEEPS = 8
@@ -234,6 +235,7 @@ class Levels(NamedTuple):
     ops: tuple  # stencil tensors [3, 3, 4, 4, ny1_l, nx1_l]
     pinvs: tuple  # block-Jacobi inverses [4, 4, ny1_l, nx1_l]
     shapes: tuple  # (ny1, nx1) per level
+    omegas: tuple = ()  # per-NODE damping maps [ny1_l, nx1_l]
     active: jnp.ndarray | None = None  # fine-level active mask [ny1, nx1]
 
 
@@ -257,22 +259,63 @@ def build(Hb: jnp.ndarray, active: jnp.ndarray, min_size: int = 8) -> Levels:
     V-cycle would otherwise smear onto them through the transfers).
     """
     ny1, nx1 = Hb.shape[-2:]
+    pinv0 = stencil.block_jacobi_inverse(Hb, active)
     ops = [Hb]
-    pinvs = [stencil.block_jacobi_inverse(Hb, active)]
+    pinvs = [pinv0]
     shapes = [(ny1, nx1)]
+    omegas = [_node_omega(Hb, pinv0)]
     act = active
     for _ in range(num_levels(ny1, nx1, min_size) - 1):
         Hb = galerkin_coarse(Hb)
         act = restrict_mask(act)
+        pinv = stencil.block_jacobi_inverse(Hb, act)
         ops.append(Hb)
-        pinvs.append(stencil.block_jacobi_inverse(Hb, act))
+        pinvs.append(pinv)
         shapes.append(Hb.shape[-2:])
+        omegas.append(_node_omega(Hb, pinv))
     return Levels(ops=tuple(ops), pinvs=tuple(pinvs), shapes=tuple(shapes),
-                  active=active)
+                  omegas=tuple(omegas), active=active)
+
+
+# Rows whose Gershgorin block-row sum exceeds this multiple of the
+# median row get damped proportionally (see `_node_omega`).
+_ROW_STIFF_FACTOR = 1.5
+
+
+def _node_omega(Hb: jnp.ndarray, pinv: jnp.ndarray) -> jnp.ndarray:
+    """Per-NODE smoother damping map [ny1, nx1].
+
+    Row stiffness is measured by the Gershgorin block-row sum
+    lam_i = sum_j ||pinv_i A_ij||_F. As an ABSOLUTE bound this is ~4x
+    conservative (measured: healthy assembled systems have
+    lambda_max(D^-1 A) ~= 2.1 with lam_i median ~= 8.3), so it is used
+    RELATIVELY: rows are damped by their excess over the typical row,
+    w_i = OMEGA * min(1, F * median(lam) / lam_i). Healthy systems
+    (p99/p50 ~= 1.3-1.5) keep OMEGA everywhere; outlier-stiff rows —
+    the ones that push lambda_max past 2/OMEGA and made the fixed-0.8
+    V-cycle indefinite on the bench's coarse scales (CG 2 -> 84
+    iters/step) — are damped locally. A handful of near-singular blocks
+    (weakly-determined shading systems) likewise damp only their own
+    nodes instead of collapsing the global omega, the failure mode of
+    the scalar power-iteration clamp (2.3% -> 11.9% depth error). The
+    per-application <r, z> guard in `apply` stays as the hard backstop.
+    Per-node scalar damping keeps the smoother symmetric (w_i * D_i^-1
+    is a scalar times a symmetric block).
+    """
+    # row blocks of D^-1 A at node (y, x): pinv[a,b,y,x] @ Hb[dy,dx,b,c,y,x]
+    prod = jnp.einsum("abyx,dqbcyx->dqacyx", pinv, Hb)
+    lam = jnp.sqrt(jnp.sum(prod * prod, axis=(2, 3))).sum((0, 1))
+    # median over rows that participate (inactive rows have pinv = 0)
+    lam_act = jnp.where(lam > 0, lam, jnp.nan)
+    med = jnp.nan_to_num(jnp.nanmedian(lam_act), nan=1.0)
+    scale = jnp.minimum(1.0, _ROW_STIFF_FACTOR * med
+                        / jnp.maximum(lam, 1e-6))
+    return jnp.asarray(OMEGA, Hb.dtype) * scale.astype(Hb.dtype)
 
 
 def _smooth(levels: Levels, l: int, r: jnp.ndarray) -> jnp.ndarray:
-    return OMEGA * stencil.apply_block_diag(levels.pinvs[l], r)
+    return levels.omegas[l][None] * stencil.apply_block_diag(
+        levels.pinvs[l], r)
 
 
 def apply(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
