@@ -194,6 +194,47 @@ def _fused_kernel(reverse: bool, xb: int, shifts: tuple, p1: int,
             step(j)
 
 
+def _fused_kernel_loop(reverse: bool, xb: int, shifts: tuple, p1: int,
+                       cost_ref, p2a_ref, acc_ref, out_ref, *prev_refs):
+    """`_fused_kernel` with the xb scan positions advanced by a
+    `lax.fori_loop` instead of Python unrolling.
+
+    Mosaic stack-allocates every live tile of an unrolled body (the xb>1
+    unrolled variant OOMs/crashes at 2 MP line sizes — PERF_NOTES "dead
+    ends"), but a fori_loop body keeps ONE iteration's temporaries live, so
+    the stack stays at the xb=1 footprint while the per-grid-step fixed
+    cost is amortized over xb positions.
+
+    The scan-start special case folds into the recurrence: a UNIFORM
+    carried line C makes the min-plus update return cost + C - C = cost,
+    exactly the restart value (border rows forced to BIG behave the same
+    way), so the first position simply substitutes prev = 0 instead of a
+    separate init branch.
+    """
+    x = pl.program_id(0)
+
+    def body(i, _):
+        j = (xb - 1 - i) if reverse else i
+        first = jnp.logical_and(x == 0, i == 0)
+        cost = cost_ref[j].astype(jnp.int32)
+        total = acc_ref[j].astype(jnp.int32)
+        for k, (shift, pr) in enumerate(zip(shifts, prev_refs)):
+            prev = jnp.where(first, 0, pr[:])
+            if shift:
+                L = prev.shape[0]
+                prev = pltpu.roll(prev, shift % L, axis=0)
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0)
+                border = row_ids == (0 if shift > 0 else L - 1)
+                prev = jnp.where(border, BIG, prev)
+            new = _min_plus(prev, cost, p1, p2a_ref[j, :, k:k + 1], BIG)
+            pr[:] = new
+            total = total + new
+        out_ref[j] = total.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, xb, body, 0)
+
+
 def _adaptive_p2_planes(inten: jnp.ndarray, reverse: bool, shifts: tuple,
                         p1: int, p2: int) -> jnp.ndarray:
     """Precompute the adaptive P2 penalty [X, L, len(shifts)] in scan order.
@@ -213,10 +254,12 @@ def _adaptive_p2_planes(inten: jnp.ndarray, reverse: bool, shifts: tuple,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("reverse", "shifts", "p1", "p2", "interpret", "xb"))
+    static_argnames=("reverse", "shifts", "p1", "p2", "interpret", "xb",
+                     "loop", "vmem_limit"))
 def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
                 reverse: bool, shifts: tuple, p1: int, p2: int,
-                interpret: bool = False, xb: int = 1) -> jnp.ndarray:
+                interpret: bool = False, xb: int = 1, loop: bool = False,
+                vmem_limit: int | None = None) -> jnp.ndarray:
     """One scan sweep of len(shifts) paths, accumulated into `acc`.
 
     cost/acc: [X, L, D] int16, scanned along the leading axis X (lines are
@@ -241,8 +284,9 @@ def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
     p2a_spec = pl.BlockSpec((xb, L, len(shifts)), lambda x: (idx(x), 0, 0),
                             memory_space=pltpu.VMEM)
 
+    kernel = (_fused_kernel_loop if loop else _fused_kernel)
     return pl.pallas_call(
-        functools.partial(_fused_kernel, reverse, xb, shifts, p1),
+        functools.partial(kernel, reverse, xb, shifts, p1),
         grid=(nblk,),
         in_specs=[vol_spec, p2a_spec, vol_spec],
         out_specs=vol_spec,
@@ -250,6 +294,8 @@ def _fused_pass(cost: jnp.ndarray, inten: jnp.ndarray, acc: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((L, D), jnp.int32) for _ in shifts],
         input_output_aliases={2: 0},
         interpret=interpret,
+        compiler_params=(None if vmem_limit is None else
+                         pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)),
     )(cost, p2a, acc)
 
 
@@ -310,10 +356,12 @@ def _fused_kernel_bidir(shifts: tuple, p1: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("shifts", "p1", "p2", "interpret"))
+    jax.jit,
+    static_argnames=("shifts", "p1", "p2", "interpret", "vmem_limit"))
 def _fused_pass_bidir(cost: jnp.ndarray, inten: jnp.ndarray,
                       acc: jnp.ndarray, shifts: tuple, p1: int, p2: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      vmem_limit: int | None = None) -> jnp.ndarray:
     """Both scan directions of len(shifts) paths in ONE grid walk.
 
     cost/acc: [X, L, D] int16; inten [X, L] int32. Equivalent to
@@ -348,6 +396,8 @@ def _fused_pass_bidir(cost: jnp.ndarray, inten: jnp.ndarray,
                         for _ in range(2 * len(shifts))],
         input_output_aliases={4: 0},
         interpret=interpret,
+        compiler_params=(None if vmem_limit is None else
+                         pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)),
     )(cost, cost, p2a_f, p2a_b, acc)
     return out_f + out_b
 
@@ -403,11 +453,12 @@ def _fused_kernel_batch(reverse: bool, nb: int, shifts: tuple, p1: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("reverse", "shifts", "p1", "p2", "interpret"))
+    jax.jit, static_argnames=("reverse", "shifts", "p1", "p2", "interpret",
+                              "vmem_limit"))
 def _fused_pass_batch(cost: jnp.ndarray, inten: jnp.ndarray,
                       acc: jnp.ndarray, reverse: bool, shifts: tuple,
-                      p1: int, p2: int, interpret: bool = False
-                      ) -> jnp.ndarray:
+                      p1: int, p2: int, interpret: bool = False,
+                      vmem_limit: int | None = None) -> jnp.ndarray:
     """One scan sweep of len(shifts) paths over a BATCH of problems.
 
     cost/acc: [B, X, L, D] int16 scanned along X; inten: [B, X, L] int32.
@@ -443,6 +494,8 @@ def _fused_pass_batch(cost: jnp.ndarray, inten: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((B, L, D), jnp.int32) for _ in shifts],
         input_output_aliases={2: 0},
         interpret=interpret,
+        compiler_params=(None if vmem_limit is None else
+                         pltpu.CompilerParams(vmem_limit_bytes=vmem_limit)),
     )(cost_t, p2a_t, acc_t)
     return jnp.swapaxes(out, 0, 1)
 

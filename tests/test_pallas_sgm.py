@@ -102,6 +102,26 @@ def test_fused_pass_xb_batching_matches_xb1():
                 np.testing.assert_array_equal(got, want)
 
 
+def test_fused_pass_xb_loop_matches_xb1():
+    """The fori_loop xb variant (one live iteration on the Mosaic stack)
+    must be bit-identical to the unrolled xb=1 kernel, including the
+    uniform-carried-line scan-start folding."""
+    h, w, d = 8, 12, 16
+    rng = np.random.default_rng(9)
+    cost = jnp.asarray(rng.integers(0, 63, size=(h, w, d)), jnp.int16)
+    inten = jnp.asarray(rng.integers(0, 255, size=(h, w)), jnp.int32)
+    acc = jnp.asarray(rng.integers(0, 500, size=(h, w, d)), jnp.int16)
+    for reverse in (False, True):
+        for shifts in ((0,), (0, 1, -1)):
+            want = np.asarray(pallas_agg._fused_pass(
+                cost, inten, acc, reverse, shifts, 6, 96, interpret=True))
+            for xb in (1, 2, 4):
+                got = np.asarray(pallas_agg._fused_pass(
+                    cost, inten, acc, reverse, shifts, 6, 96,
+                    interpret=True, xb=xb, loop=True))
+                np.testing.assert_array_equal(got, want)
+
+
 def test_fused_pass_bidir_matches_two_passes():
     """One bidirectional grid walk (forward at x, backward at X-1-x) must
     be bit-identical to the forward pass followed by the backward pass."""
