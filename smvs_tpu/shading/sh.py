@@ -3,8 +3,9 @@
 TPU-native counterpart of reference `lib/spherical_harmonics.h`. The smvs
 shading model uses a rescaled basis that drops normalization constants
 (`evaluate_3_band` / `evaluate_4_band`, reference :53-151); the lighting
-coefficients absorb the scale. Derivatives w.r.t. the normal come from
-autodiff where needed.
+coefficients absorb the scale. `eval_4_band_jac` is the analytic
+derivative table (reference :157-201); autodiff remains the oracle in
+tests.
 """
 
 from __future__ import annotations
@@ -73,3 +74,35 @@ def eval_4_band(n: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     return jnp.concatenate([eval_3_band(n), l3], axis=-1)
+
+
+def eval_4_band_jac(n: jnp.ndarray) -> jnp.ndarray:
+    """Analytic d(eval_4_band)/dn: (..., 3) -> (..., 16, 3).
+
+    Hand-differentiated polynomial rows of :func:`eval_4_band`
+    (reference `lib/spherical_harmonics.h:157-201`); row 0 (constant
+    band) is zero. Checked against `jax.jacfwd(eval_4_band)` in
+    tests/test_normals_sh.py.
+    """
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    zero = jnp.zeros_like(x)
+    x2, y2, z2 = x * x, y * y, z * z
+    rows = [
+        (zero, zero, zero),                                   # 1
+        (zero, jnp.ones_like(x), zero),                       # y
+        (zero, zero, jnp.ones_like(x)),                       # z
+        (jnp.ones_like(x), zero, zero),                       # x
+        (y, x, zero),                                         # xy
+        (zero, z, y),                                         # yz
+        (-2.0 * x, -2.0 * y, 4.0 * z),                        # -x2-y2+2z2
+        (z, zero, x),                                         # xz
+        (2.0 * x, -2.0 * y, zero),                            # x2-y2
+        (6.0 * x * y, 3.0 * x2 - 3.0 * y2, zero),             # (3x2-y2)y
+        (y * z, x * z, x * y),                                # xyz
+        (-2.0 * x * y, 4.0 * z2 - x2 - 3.0 * y2, 8.0 * y * z),  # (4z2-x2-y2)y
+        (-6.0 * x * z, -6.0 * y * z, 6.0 * z2 - 3.0 * x2 - 3.0 * y2),
+        (4.0 * z2 - 3.0 * x2 - y2, -2.0 * x * y, 8.0 * x * z),  # (4z2-x2-y2)x
+        (2.0 * x * z, -2.0 * y * z, x2 - y2),                 # (x2-y2)z
+        (3.0 * x2 - 3.0 * y2, -6.0 * x * y, zero),            # (x2-3y2)x
+    ]
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)

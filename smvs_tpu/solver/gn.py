@@ -681,33 +681,51 @@ def _assemble_flat(
         lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
         lin_term = lin_grad / lin_safe[..., None]
 
-        def shading_of(v):
-            dv = nrm.normal_divergence(xc, yc, view.flen, v[..., 0],
-                                       v[..., 1], v[..., 2], v[..., 3],
-                                       v[..., 4], v[..., 5])
-            normal = nrm.normal(xc, yc, inv_flen, v[..., 0], v[..., 1],
-                                v[..., 2])
-            # GN approximation: dSH/dn held constant w.r.t. node params
-            # (reference `lib/gauss_newton_step.cc:480-495`).
-            n0 = jax.lax.stop_gradient(normal)
-            _, sh_jvp = jax.linearize(shmod.eval_4_band, n0)
-            lam0 = lighting.at[0].set(0.0)
-            coef = jnp.stack(
-                [jnp.einsum("l,...l->...", lam0,
-                            sh_jvp(jnp.broadcast_to(
-                                jnp.eye(3, dtype=dtype)[k], n0.shape)))
-                 for k in range(3)], axis=-1)  # [..., 3]
-            sh_val = jnp.einsum("l,...l->...", lighting,
-                                shmod.eval_4_band(normal))
-            sgrad = jnp.stack([(coef * dv[..., 0:3]).sum(-1),
-                               (coef * dv[..., 3:6]).sum(-1)], axis=-1)
-            safe = jnp.where(jnp.abs(sh_val) < 1e-10, 1.0, sh_val)
-            return sgrad / safe[..., None] - lin_term, sh_val
+        # Closed-form value-space columns of the shading residual
+        # r_c = (coef . dv_c) / sh_val - lin_term_c (c in {x, y}) — the
+        # hand-derived chain of reference `lib/gauss_newton_step.cc:
+        # 420-516`. coef = lighting . dSH/dn is FROZEN w.r.t. the node
+        # params (the reference's GN approximation, :480-495);
+        # d(dv)/d(vals) reuses the regularizer's jdiv columns above; and
+        # d(sh_val)/d(vals) flows through the unit normal, whose only
+        # nonzero value columns are (w, dx, dy). Replaces a 6-seed
+        # jax.linearize that re-played the whole chain per column
+        # (measured ~5x flagship-vs-base step cost, VERDICT r3 #2);
+        # checked against the autodiff oracle in tests/test_gn_analytic.py.
+        u1 = wdx
+        u2 = -wdy
+        u3 = (xc * wdx + yc * wdy + w) * inv_flen
+        norm_u = jnp.sqrt(u1 * u1 + u2 * u2 + u3 * u3)
+        inv_nu = 1.0 / norm_u
+        n1, n2, n3 = u1 * inv_nu, u2 * inv_nu, u3 * inv_nu
+        normal = jnp.stack([n1, n2, n3], axis=-1)  # [B, P, 3]
+        sh_val = jnp.einsum("l,...l->...", lighting,
+                            shmod.eval_4_band(normal))
+        # Row 0 of the SH jacobian is zero, so this equals the reference's
+        # band-0-masked coefficient (lighting.at[0].set(0) @ dSH/dn).
+        coef = jnp.einsum("l,...lk->...k", lighting,
+                          shmod.eval_4_band_jac(normal))  # [B, P, 3]
+        sgrad = jnp.stack([(coef * div[..., 0:3]).sum(-1),
+                           (coef * div[..., 3:6]).sum(-1)], axis=-1)
+        safe = jnp.where(jnp.abs(sh_val) < 1e-10, 1.0, sh_val)
+        inv_safe = 1.0 / safe
+        sh_res = _nan0(sgrad * inv_safe[..., None] - lin_term)
 
-        (sh_res, sh_val), sh_jvp_f = jax.linearize(shading_of, vals)
-        sh_res = _nan0(sh_res)
-        jsh = [_nan0(sh_jvp_f(jnp.broadcast_to(eye6[k], vals.shape))[0])
-               for k in range(6)]  # 6 x [B, P, 2]
+        # d sh_val/d val_j = coef . dn/d val_j with dn_j = (du_j -
+        # n (n . du_j)) / |u| and du/dw = (0, 0, 1/f),
+        # du/ddx = (1, 0, xc/f), du/ddy = (0, -1, yc/f).
+        cn = coef[..., 0] * n1 + coef[..., 1] * n2 + coef[..., 2] * n3
+        dsh_dval = (
+            (coef[..., 2] * inv_flen - cn * (n3 * inv_flen)) * inv_nu,
+            (coef[..., 0] + coef[..., 2] * xc * inv_flen
+             - cn * (n1 + n3 * xc * inv_flen)) * inv_nu,
+            (-coef[..., 1] + coef[..., 2] * yc * inv_flen
+             - cn * (-n2 + n3 * yc * inv_flen)) * inv_nu,
+        )
+        # The 1e-10 floor makes `safe` piecewise: its derivative is zero
+        # on the floored branch (those pixels are weight-gated anyway).
+        live = (jnp.abs(sh_val) >= 1e-10).astype(dtype)
+        quot = live * inv_safe * inv_safe
 
         lin_grad_abs = jnp.abs(lin_grad).sum(-1)
         shading_weight = 0.001 * num_diffs / (R_FACTOR + lin_grad_abs)
@@ -719,12 +737,19 @@ def _assemble_flat(
         if opts.regularization <= 0.0:
             gate = gate * 0.0
         for c in range(2):
+            sg = sgrad[..., c]
+            jsh_c = []
+            for k in range(6):
+                jc = (coef * jdiv[k][..., 3 * c:3 * c + 3]).sum(-1) * inv_safe
+                if k < 3:
+                    jc = jc - sg * dsh_dval[k] * quot
+                jsh_c.append(_nan0(jc))
             wc = gate * shading_weight / (
                 R_FACTOR + jnp.abs(sh_res[..., c])) * okw
             for (k, l) in _SYM_PAIRS:
-                A[(k, l)] += wc * jsh[k][..., c] * jsh[l][..., c]
+                A[(k, l)] += wc * jsh_c[k] * jsh_c[l]
             for k in range(6):
-                b[k] += wc * sh_res[..., c] * jsh[k][..., c]
+                b[k] += wc * sh_res[..., c] * jsh_c[k]
 
     # --- basis contraction: two MXU matmuls --------------------------------
     A_packed = jnp.stack([A[kl] for kl in _SYM_PAIRS], axis=-1)  # [B, P, 21]

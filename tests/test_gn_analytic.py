@@ -39,7 +39,7 @@ def _problem(n_views=2, use_shading=False, dim=96, scale=3):
 
 
 @pytest.mark.parametrize("n_views,use_shading", [(1, False), (3, False),
-                                                 (1, True)])
+                                                 (1, True), (2, True)])
 def test_analytic_matches_autodiff(n_views, use_shading):
     surf, view, vis, lighting = _problem(n_views, use_shading)
     active = surf.node_valid
