@@ -22,3 +22,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache for the test suite (separate from the TPU
+# bench cache). Makes reruns mostly cache loads, which both speeds the
+# loop and makes a retry after a flaky XLA compile crash (r3:
+# backend_compile_and_load segfault under memory pressure on 2-core
+# hosts) skip the already-compiled modules — see tools/run_tests.sh.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
