@@ -333,6 +333,15 @@ class Scene:
                 if os.path.isdir(vdir) and os.path.exists(
                         os.path.join(vdir, "meta.ini")):
                     views.append(View.load(vdir))
+                elif os.path.isfile(vdir) and entry.endswith(".mve"):
+                    # MVE's legacy single-file view container (pre-2014
+                    # layout; modern MVE writes view directories and
+                    # ships `sceneupgrade` to convert). Refuse loudly
+                    # instead of silently skipping the view.
+                    raise NotImplementedError(
+                        f"{vdir}: legacy single-file .mve view containers "
+                        "are not supported; convert the scene with MVE's "
+                        "'sceneupgrade' tool (directory views + meta.ini)")
         bundle = None
         bpath = os.path.join(path, "synth_0.out")
         if os.path.exists(bpath):

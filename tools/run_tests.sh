@@ -12,14 +12,16 @@
 # Usage: tools/run_tests.sh [pytest args...]   (default: tests/ -q)
 set -u
 cd "$(dirname "$0")/.."
-ARGS="${*:-tests/ -q}"
-python -m pytest $ARGS
+if [ "$#" -eq 0 ]; then
+  set -- tests/ -q
+fi
+python -m pytest "$@"
 rc=$?
 case "$rc" in
   132|134|135|136|137|138|139)
     echo "=== pytest crashed (exit $rc, likely XLA compile crash);" \
          "retrying once from the compile cache ===" >&2
-    python -m pytest $ARGS
+    python -m pytest "$@"
     rc=$?
     ;;
 esac
