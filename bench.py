@@ -152,6 +152,46 @@ def run_once(dim, min_scale, verbose=True):
     return t_sgm, t_opt, float(mask.mean()), float(np.median(rel))
 
 
+def _retry(fn, *args, tries=2, **kw):
+    """One retry for transient axon-tunnel failures (observed r4:
+    'remote_compile: response body closed' killing an otherwise-green
+    run mid-bench; the compile cache makes the retry cheap)."""
+    for attempt in range(tries):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 - last attempt re-raises
+            if attempt + 1 == tries:
+                raise
+            log(f"transient failure ({type(e).__name__}: {e}); retrying")
+
+
+def _measure(tag, fn, dim, min_scale, passes):
+    """Median/min/max MP/s over `passes` silent measured passes.
+
+    r3 shipped single-pass numbers whose run-to-run spread (base
+    0.92-1.05 MP/s) was larger than the effects being decided on
+    (VERDICT r3 weak #5); the median over >=3 passes is the headline.
+    """
+    mp = dim * dim / 1e6
+    mps, cov, err = [], None, None
+    for i in range(passes):
+        t_sgm, t_opt, cov, err = _retry(fn, dim, min_scale,
+                                         verbose=False)
+        mps.append(mp / (t_sgm + t_opt))
+        log(f"{tag} pass {i + 1}/{passes}: sgm={t_sgm:.2f}s "
+            f"opt={t_opt:.2f}s -> {mps[-1]:.3f} MP/s "
+            f"(coverage={cov:.1%} median_err={err:.5f})")
+    mps.sort()
+    return {
+        "mps": round(mps[len(mps) // 2], 4),
+        "mps_min": round(mps[0], 4),
+        "mps_max": round(mps[-1], 4),
+        "passes": passes,
+        "coverage": round(cov, 4),
+        "median_rel_err": round(err, 6),
+    }
+
+
 def main():
     import jax
 
@@ -165,31 +205,29 @@ def main():
     # (`app/smvsrecon.cc:48` max_pixels=1.7e6, README "around 2MP").
     dim = int(os.environ.get("SMVS_BENCH_DIM", "1440"))
     min_scale = int(os.environ.get("SMVS_BENCH_MIN_SCALE", "2"))
+    passes = int(os.environ.get("SMVS_BENCH_PASSES", "3"))
     log(f"bench: devices={jax.devices()} dim={dim} min_scale={min_scale}")
 
     log("warmup pass (populates compile cache)...")
     t0 = time.time()
-    run_once(dim, min_scale)
+    _retry(run_once, dim, min_scale)
     log(f"warmup took {time.time()-t0:.1f}s")
 
-    log("measured pass...")
-    # silent: per-scale logging costs device round-trips under the tunnel
-    t_sgm, t_opt, coverage, med_err = run_once(dim, min_scale, verbose=False)
-    total = t_sgm + t_opt
-    mps = (dim * dim / 1e6) / total
-    log(f"sgm={t_sgm:.2f}s opt={t_opt:.2f}s coverage={coverage:.1%} "
-        f"median_err={med_err:.5f}")
+    base = _measure("base", run_once, dim, min_scale, passes)
+    base["neighbors"] = 1
+    mps = base["mps"]
+    coverage, med_err = base["coverage"], base["median_rel_err"]
+    log(f"base: {base}")
 
     log("flagship (-S, 2 neighbors) warmup...")
     t0 = time.time()
-    run_shading_once(dim, min_scale)
+    _retry(run_shading_once, dim, min_scale)
     log(f"shading warmup took {time.time()-t0:.1f}s")
-    log("flagship measured pass...")
-    s_sgm, s_opt, s_cov, s_err = run_shading_once(dim, min_scale,
-                                                  verbose=False)
-    s_mps = (dim * dim / 1e6) / (s_sgm + s_opt)
-    log(f"shading: sgm={s_sgm:.2f}s opt={s_opt:.2f}s coverage={s_cov:.1%} "
-        f"median_err={s_err:.5f} -> {s_mps:.3f} MP/s")
+    shading = _measure("shading", run_shading_once, dim, min_scale, passes)
+    shading["neighbors"] = 2
+    s_mps, s_cov, s_err = (shading["mps"], shading["coverage"],
+                           shading["median_rel_err"])
+    log(f"shading: {shading}")
 
     shading_baseline = None
     try:
@@ -201,19 +239,15 @@ def main():
     except (OSError, KeyError, ValueError):
         pass
 
+    shading["vs_baseline"] = (None if not shading_baseline
+                              else round(s_mps / shading_baseline, 2))
     print(json.dumps({
         "metric": "depth_map_throughput",
-        "value": round(mps, 4),
+        "value": mps,
         "unit": "MP/s",
         "vs_baseline": round(mps / BASELINE_CPU_MPS, 2),
-        "base": {"mps": round(mps, 4), "coverage": round(coverage, 4),
-                 "median_rel_err": round(med_err, 6), "neighbors": 1},
-        "shading_flagship": {
-            "mps": round(s_mps, 4), "coverage": round(s_cov, 4),
-            "median_rel_err": round(s_err, 6), "neighbors": 2,
-            "vs_baseline": (None if not shading_baseline
-                            else round(s_mps / shading_baseline, 2)),
-        },
+        "base": base,
+        "shading_flagship": shading,
     }))
 
 

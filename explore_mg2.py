@@ -61,6 +61,7 @@ for dtype in (jnp.float32, jnp.float64):
         ops = [Hb]; act = active
         pinvs = [stencil.block_jacobi_inverse(Hb, active)]
         shapes = [Hb.shape[-2:]]
+        omegas = [mg._node_omega(Hb, pinvs[0])]
         H = Hb
         for _ in range(mg.num_levels(*Hb.shape[-2:]) - 1):
             H = mg.galerkin_coarse(H)
@@ -73,8 +74,9 @@ for dtype in (jnp.float32, jnp.float64):
             ops.append(Hg)
             pinvs.append(stencil.block_jacobi_inverse(Hg, act))
             shapes.append(H.shape[-2:])
+            omegas.append(mg._node_omega(Hg, pinvs[-1]))
         return mg.Levels(ops=tuple(ops), pinvs=tuple(pinvs),
-                         shapes=tuple(shapes))
+                         shapes=tuple(shapes), omegas=tuple(omegas))
 
     for lam in (1e-5, 1e-4, 1e-3):
         lg = guarded_levels(lam)

@@ -491,7 +491,21 @@ def _newton_step(surf: S.Surface, view: gn.ViewSet, vis, active,
     else:
         g, Hb = gn.assemble(s, view, vis, act, gn_opts, lighting)
     if opts.precond == "mg":
-        levels = mg.build(Hb, act)
+        # Per-problem smoother damping (see mg.build): base systems get
+        # relative row damping, shading systems a constant OMEGA.
+        levels = mg.build(Hb, act, damp_rows=lighting is None)
+        # Preconditioner indefiniteness is handled per APPLY inside
+        # mg.apply (<r, z> guard -> block-Jacobi for that apply). Two
+        # theoretically-cleaner designs were measured WORSE on the
+        # flagship bench and rejected (r4): a per-solve latch (probe the
+        # V-cycle on r0, use Jacobi for the whole solve if indefinite)
+        # collapsed shading solves to pure Jacobi — optimizer 3.4 s ->
+        # 10.2 s and median err 0.3% -> 1.1% — and flexible-beta PCG
+        # (sound under preconditioner switching) stalled the Newton
+        # trajectory (err 0.9%, Lambertian-sphere regression). The
+        # weakly-determined shading systems NEED the V-cycle on the
+        # applies where it is definite; mixed preconditioning with
+        # standard beta is a deliberate, measured trade.
         precond = lambda x: mg.apply(levels, x)  # noqa: E731
     else:
         P = stencil.block_jacobi_inverse(Hb, act)

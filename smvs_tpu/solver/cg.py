@@ -31,8 +31,21 @@ def solve(
     max_iterations: int = 200,
     error_tolerance: jnp.ndarray | float = 1e-20,
     q_tolerance: float = 1e-3,
+    flexible: bool = False,
 ) -> CGResult:
-    """Solve A x = b from x0 = 0. All state is a fixed-shape pytree."""
+    """Solve A x = b from x0 = 0. All state is a fixed-shape pytree.
+
+    ``flexible=True`` uses the Polak-Ribiere beta
+    ``<z, r - r_prev> / <z_prev, r_prev>`` (flexible PCG). Identical to
+    the Fletcher-Reeves form in exact arithmetic for a FIXED SPD
+    preconditioner, and remains convergent when the preconditioner
+    varies between applications — which the MG preconditioner's
+    per-apply indefiniteness fallback (solver/mg.py::apply) can do
+    within one solve. NOT used by the depth optimizer: measured on the
+    flagship bench (r4), flexible beta stalled the Newton trajectory
+    (median err 0.3% -> 0.9%) — see the preconditioner note in
+    `pipeline/optimizer._newton_step`. Kept for experimentation.
+    """
     P = precond if precond is not None else (lambda v: v)
     x0 = jnp.zeros_like(b)
     r0 = b
@@ -52,6 +65,7 @@ def solve(
         dAd = _dot(d, Ad)
         alpha = jnp.where(dAd != 0, rdr / dAd, 0.0)
         x = x + alpha * d
+        r_prev = r
         r = r - alpha * Ad
         new_rr = _dot(r, r)
         done_res = new_rr < tol
@@ -61,8 +75,12 @@ def solve(
         done_q = zeta < q_tolerance
 
         z = P(r)
+        if flexible:
+            num = _dot(z, r - r_prev)
+        else:
+            num = _dot(z, r)
         new_rdr = _dot(z, r)
-        beta = jnp.where(rdr != 0, new_rdr / rdr, 0.0)
+        beta = jnp.where(rdr != 0, num / rdr, 0.0)
         d = z + beta * d
         return (i + 1, x, r, d, new_rdr, q1, done_res | done_q)
 

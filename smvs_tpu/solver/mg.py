@@ -41,6 +41,7 @@ systems vs block-Jacobi.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -56,8 +57,11 @@ from smvs_tpu.solver import stencil
 # blocks gut the smoother everywhere (Lambertian-sphere shading test:
 # 2.3% -> 11.9% median depth error), while NO clamp makes the V-cycle
 # indefinite on the base bench's stiff coarse scales (CG 2 -> 84
-# iters/step). The per-application <r, z> <= 0 guard in `apply` remains
-# as the last line of defense.
+# iters/step). Residual indefiniteness is handled per SOLVE: the
+# optimizer probes the V-cycle on the initial residual and latches the
+# whole solve onto block-Jacobi if it fails (fixed preconditioner per
+# solve — r3 advisor #1), with the per-application <r, z> <= 0 guard in
+# `apply` as the last line of defense.
 OMEGA = 0.8
 # Damped-Jacobi sweeps on the coarsest grid (<= 8x8 nodes).
 COARSE_SWEEPS = 8
@@ -235,7 +239,9 @@ class Levels(NamedTuple):
     ops: tuple  # stencil tensors [3, 3, 4, 4, ny1_l, nx1_l]
     pinvs: tuple  # block-Jacobi inverses [4, 4, ny1_l, nx1_l]
     shapes: tuple  # (ny1, nx1) per level
-    omegas: tuple = ()  # per-NODE damping maps [ny1_l, nx1_l]
+    # Per-NODE damping maps [ny1_l, nx1_l]; REQUIRED, one per level
+    # (a defaulted () only crashed later inside _smooth — r3 advisor #4).
+    omegas: tuple
     active: jnp.ndarray | None = None  # fine-level active mask [ny1, nx1]
 
 
@@ -247,7 +253,8 @@ def num_levels(ny1: int, nx1: int, min_size: int = 8) -> int:
     return n
 
 
-def build(Hb: jnp.ndarray, active: jnp.ndarray, min_size: int = 8) -> Levels:
+def build(Hb: jnp.ndarray, active: jnp.ndarray, min_size: int = 8,
+          damp_rows: bool = True) -> Levels:
     """Build the V-cycle hierarchy for one assembled system.
 
     A coarse node is "active" if any fine node in its transfer support is
@@ -257,13 +264,34 @@ def build(Hb: jnp.ndarray, active: jnp.ndarray, min_size: int = 8) -> Levels:
     preconditioner onto the active subspace (inactive nodes have zero
     H rows/cols and zero gradient, so CG never controls components the
     V-cycle would otherwise smear onto them through the transfers).
+
+    ``damp_rows`` selects the smoother damping policy per PROBLEM
+    (measured on the r4 flagship/base benches, bench_r4_{c,d}.log):
+
+    - True (base photometric systems): relative Gershgorin row damping
+      (`_node_omega`). Their coarse Galerkin levels grow pathological
+      outlier rows (5-2000x the median) that make the 0.8 V-cycle
+      indefinite; damping them took base CG from 84 to 4 iters/step and
+      the optimizer from 1.39 s to 1.16 s.
+    - False (shading systems): constant OMEGA. Shading systems' stiff
+      rows are FUNCTIONAL — they sit on weakly-textured nodes where the
+      SH shading term supplies the only strong constraint; damping them
+      (any F tried) cost the flagship 2.8x optimizer time (3.3 s ->
+      9.3 s) and 3x accuracy (0.29% -> 0.88% median err). Their
+      indefinite solves are carried by the per-apply <r, z> guard.
     """
     ny1, nx1 = Hb.shape[-2:]
     pinv0 = stencil.block_jacobi_inverse(Hb, active)
+
+    def omega(H, pinv):
+        if damp_rows:
+            return _node_omega(H, pinv)
+        return jnp.full(H.shape[-2:], OMEGA, H.dtype)
+
     ops = [Hb]
     pinvs = [pinv0]
     shapes = [(ny1, nx1)]
-    omegas = [_node_omega(Hb, pinv0)]
+    omegas = [omega(Hb, pinv0)]
     act = active
     for _ in range(num_levels(ny1, nx1, min_size) - 1):
         Hb = galerkin_coarse(Hb)
@@ -272,36 +300,57 @@ def build(Hb: jnp.ndarray, active: jnp.ndarray, min_size: int = 8) -> Levels:
         ops.append(Hb)
         pinvs.append(pinv)
         shapes.append(Hb.shape[-2:])
-        omegas.append(_node_omega(Hb, pinv))
+        omegas.append(omega(Hb, pinv))
     return Levels(ops=tuple(ops), pinvs=tuple(pinvs), shapes=tuple(shapes),
                   omegas=tuple(omegas), active=active)
 
 
 # Rows whose Gershgorin block-row sum exceeds this multiple of the
-# median row get damped proportionally (see `_node_omega`).
-_ROW_STIFF_FACTOR = 1.5
+# median row get damped proportionally (see `_node_omega`; used only
+# for damp_rows=True systems — base photometric problems). Calibrated
+# on MEASURED per-level lam distributions (explore_lam_r4.py, r4):
+# healthy base rows span p99/p50 ~= 1.4 while the pathological
+# coarse-level outliers that make the 0.8 V-cycle indefinite sit at
+# 5-2000x the median; F = 2.0 clears the healthy p99 with margin and
+# still crushes the outliers. (F = 1.5, r3, also damped healthy
+# upper-quartile rows of SHADING systems and cost the flagship 2x
+# throughput / 3.5x accuracy — shading systems now skip row damping
+# entirely, see `build`.)
+_ROW_STIFF_FACTOR = 2.0
+
+# Debug/benchmark override: SMVS_MG_OMEGA=const disables the relative
+# row damping (constant OMEGA everywhere; the guard + per-solve latch
+# then carry stiff systems). Read once at import.
+_OMEGA_POLICY = os.environ.get("SMVS_MG_OMEGA", "rel")
 
 
 def _node_omega(Hb: jnp.ndarray, pinv: jnp.ndarray) -> jnp.ndarray:
     """Per-NODE smoother damping map [ny1, nx1].
 
     Row stiffness is measured by the Gershgorin block-row sum
-    lam_i = sum_j ||pinv_i A_ij||_F. As an ABSOLUTE bound this is ~4x
-    conservative (measured: healthy assembled systems have
-    lambda_max(D^-1 A) ~= 2.1 with lam_i median ~= 8.3), so it is used
-    RELATIVELY: rows are damped by their excess over the typical row,
-    w_i = OMEGA * min(1, F * median(lam) / lam_i). Healthy systems
-    (p99/p50 ~= 1.3-1.5) keep OMEGA everywhere; outlier-stiff rows —
-    the ones that push lambda_max past 2/OMEGA and made the fixed-0.8
-    V-cycle indefinite on the bench's coarse scales (CG 2 -> 84
-    iters/step) — are damped locally. A handful of near-singular blocks
-    (weakly-determined shading systems) likewise damp only their own
-    nodes instead of collapsing the global omega, the failure mode of
-    the scalar power-iteration clamp (2.3% -> 11.9% depth error). The
-    per-application <r, z> guard in `apply` stays as the hard backstop.
+    lam_i = sum_j ||pinv_i A_ij||_F. As an ABSOLUTE bound this is
+    conservative by a problem-dependent factor (measured: healthy
+    systems have lambda_max(D^-1 A) ~= 2.1 with lam_i median ~= 8.3 on
+    base systems but ~= 15 on shading systems), so no absolute cap can
+    both preserve healthy shading rows (lam up to ~30) and guarantee
+    stability (omega*lam < 2) — the rule is RELATIVE instead: rows are
+    damped by their excess over the typical row,
+    w_i = OMEGA * min(1, F * median(lam) / lam_i). Healthy systems keep
+    OMEGA everywhere; outlier-stiff rows — the coarse Galerkin rows at
+    5-2000x the median that made the fixed-0.8 V-cycle indefinite on
+    the base bench (CG 2 -> 84 iters/step) — are damped locally. A
+    handful of near-singular blocks (weakly-determined shading systems)
+    likewise damp only their own nodes instead of collapsing the global
+    omega, the failure mode of the scalar power-iteration clamp
+    (2.3% -> 11.9% depth error). Uniformly-stiff systems (median itself
+    huge, e.g. late compacted working sets) are NOT damped by this rule;
+    they fall to the per-application <r, z> guard in `apply` (block-
+    Jacobi fallback, made sound mid-solve by flexible-beta CG).
     Per-node scalar damping keeps the smoother symmetric (w_i * D_i^-1
     is a scalar times a symmetric block).
     """
+    if _OMEGA_POLICY == "const":
+        return jnp.full(Hb.shape[-2:], OMEGA, Hb.dtype)
     # row blocks of D^-1 A at node (y, x): pinv[a,b,y,x] @ Hb[dy,dx,b,c,y,x]
     prod = jnp.einsum("abyx,dqbcyx->dqacyx", pinv, Hb)
     lam = jnp.sqrt(jnp.sum(prod * prod, axis=(2, 3))).sum((0, 1))
@@ -344,6 +393,22 @@ def apply(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
     Pi M Pi remains symmetric PSD and the CG residual stays in range(Pi).
     """
 
+    z = apply_vcycle(levels, r)
+    if levels.active is not None:
+        r = jnp.where(levels.active[None], r, 0.0)
+    # Indefiniteness guard (see docstring): fall back to damped
+    # block-Jacobi — always PD on the active set — when the V-cycle
+    # produced a non-positive <r, z> (possible when OMEGA exceeds
+    # 2/lambda_max for an unusually stiff system).
+    rz = jnp.sum(r * z)
+    return jnp.where(rz > 0, z, jacobi(levels, r))
+
+
+def apply_vcycle(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
+    """One symmetric V(1,1) cycle, active-projected, WITHOUT the
+    indefiniteness guard. Callers probing definiteness (the per-solve
+    latch in `pipeline/optimizer._newton_step`) use this directly."""
+
     def cycle(l: int, rl: jnp.ndarray) -> jnp.ndarray:
         A = levels.ops[l]
         if l == len(levels.ops) - 1:
@@ -362,12 +427,14 @@ def apply(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
     z = cycle(0, r)
     if levels.active is not None:
         z = jnp.where(levels.active[None], z, 0.0)
-    # Indefiniteness guard (see docstring): fall back to damped
-    # block-Jacobi — always PD on the active set — when the V-cycle
-    # produced a non-positive <r, z> (possible when OMEGA exceeds
-    # 2/lambda_max for an unusually stiff system).
-    rz = jnp.sum(r * z)
+    return z
+
+
+def jacobi(levels: Levels, r: jnp.ndarray) -> jnp.ndarray:
+    """Damped block-Jacobi on the fine level (always PD on the active
+    set) — the fallback preconditioner of the per-solve latch and the
+    per-apply guard."""
     zj = _smooth(levels, 0, r)
     if levels.active is not None:
         zj = jnp.where(levels.active[None], zj, 0.0)
-    return jnp.where(rz > 0, z, zj)
+    return zj

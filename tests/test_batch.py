@@ -57,6 +57,12 @@ def test_batched_matches_sequential():
         # drift ~5e-4 rel on <9% of pixels, well inside the 0.33% median
         # GT error on this scene.
         np.testing.assert_allclose(d_bat, d_seq, rtol=1e-3, atol=1e-3)
+        # The loose ceiling above tolerates sparse iteration-count drift;
+        # this distribution bound keeps sensitivity to broad systematic
+        # divergence (a real cross-path bug under 1e-3 would light up far
+        # more than 10% of pixels — r3 advisor #3).
+        drift = np.abs(d_bat - d_seq) / np.maximum(np.abs(d_seq), 1e-6)
+        assert (drift > 2e-4).mean() < 0.10, (drift > 2e-4).mean()
         mask = (d_bat > 0) & (gt > 0)
         rel = np.abs(d_bat[mask] - gt[mask]) / gt[mask]
         assert np.median(rel) < 0.01
@@ -71,9 +77,13 @@ def test_batched_sharded_matches_unsharded():
     out = B.optimize_view_batch(mains, subs_list, OPTS, init_depths=inits,
                                 mesh=mesh)
     for r_ref, r_out in zip(ref, out):
-        np.testing.assert_allclose(np.asarray(r_out.depth),
-                                   np.asarray(r_ref.depth),
-                                   rtol=1e-3, atol=1e-3)
+        d_ref = np.asarray(r_ref.depth)
+        d_out = np.asarray(r_out.depth)
+        np.testing.assert_allclose(d_out, d_ref, rtol=1e-3, atol=1e-3)
+        # Distribution bound: sparse iteration-count drift only (see
+        # test_batched_matches_sequential).
+        drift = np.abs(d_out - d_ref) / np.maximum(np.abs(d_ref), 1e-6)
+        assert (drift > 2e-4).mean() < 0.10, (drift > 2e-4).mean()
 
 
 def test_batched_sgm_path_runs():
