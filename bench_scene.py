@@ -78,20 +78,13 @@ def main():
     t0 = time.time()
     sgm_depths = []
     for i in range(n_views):
-        acc = None
-        for j in neighbors(i):
-            d = np.asarray(sgm.reconstruct_auto(
-                scene.cameras[i], scene.cameras[j],
-                views[i].image * 255.0, views[j].image * 255.0,
-                range_main=(3.4, 6.6), range_nbr=(3.4, 6.6)))
-            if acc is None:
-                acc = d
-            else:
-                both = (acc > 0) & (d > 0)
-                only2 = (acc == 0) & (d > 0)
-                acc = np.where(both, (acc + d) * 0.5,
-                               np.where(only2, d, acc))
-        sgm_depths.append(jnp.asarray(acc))
+        nbrs = neighbors(i)
+        sgm_depths.append(sgm.reconstruct_auto_multi(
+            scene.cameras[i], [scene.cameras[j] for j in nbrs],
+            views[i].image * 255.0, [views[j].image * 255.0 for j in nbrs],
+            (3.4, 6.6), [(3.4, 6.6)] * len(nbrs)))
+        # Bound the async queue (see CAUTION in PERF_NOTES.md).
+        np.asarray(sgm_depths[-1][0, 0])
     np.asarray(sgm_depths[-1][0, 0])
     t_sgm = time.time() - t0
     log(f"sgm init: {t_sgm:.2f}s ({n_views} views x 2 neighbors)")

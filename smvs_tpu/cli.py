@@ -455,23 +455,20 @@ def reconstruct_sgm(conf, by_id, i, nbrs, padded_gray, bundle, sgm_range):
         return sgm.depth_range_from_features(d)
 
     opts = sgm.SGMOptions(scale=conf.sgm_scale, debug_lvl=conf.debug_lvl)
-    acc = None
+    cams, imgs, ranges = [], [], []
     for n in nbrs[:2]:
         img_n, cam_n = padded_gray(n)
         nb_img = at_sgm_scale(img_n)
         hn, wn = nb_img.shape
-        d = sgm.reconstruct_auto(
-            cam_i, cam_n, main_img, nb_img,
-            range_main=depth_range(i, cam_i, w, h),
-            range_nbr=depth_range(n, cam_n, wn, hn), opts=opts)
-        d = np.asarray(d)
-        if acc is None:
-            acc = d
-        else:
-            both = (acc > 0) & (d > 0)
-            only2 = (acc == 0) & (d > 0)
-            acc = np.where(both, (acc + d) * 0.5, np.where(only2, d, acc))
-    return acc
+        cams.append(cam_n)
+        imgs.append(nb_img)
+        ranges.append(depth_range(n, cam_n, wn, hn))
+    # <=2 neighbors averaged, fused into one device program when the
+    # pair geometry allows (reference app:347-384).
+    return np.asarray(sgm.reconstruct_auto_multi(
+        cam_i, cams, main_img, imgs,
+        range_main=depth_range(i, cam_i, w, h), ranges_nbr=ranges,
+        opts=opts))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,13 @@ class OptimizerOptions:
     # Newton steps without active-set or reprojection-delta improvement
     # before the inner loop exits (see `_newton_loop`).
     stall_limit: int = 8
+    # Equality-harness mode: run EXACTLY max_newton_steps per inner loop
+    # (no convergence/stall early exits; the non-finite-delta bail
+    # remains). Cross-path equality tests (sharded vs unsharded, batched
+    # vs sequential) use this so reduction-order noise cannot flip an
+    # iteration count and shift the whole map by a convergence epsilon —
+    # which is what forced the r3 tolerance loosening (advisor #3).
+    fixed_newton_steps: bool = False
 
 
 def initial_scale(width: int, height: int) -> int:
@@ -594,6 +601,8 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
 
     def cond(state):
         nodes, active_, steps, done = state[:4]
+        if opts.fixed_newton_steps:
+            return (steps < max_steps) & ~done
         if full:
             more = ~done
         else:
@@ -625,6 +634,10 @@ def _newton_loop(surf: S.Surface, view: gn.ViewSet, vis, active,
         else:
             # Active-set criterion plus hard convergence floors.
             done = bad | (avg < 0.002) | converged | stalled
+        if opts.fixed_newton_steps:
+            done = bad
+            if full:
+                new_active = active_
         return (new_nodes, new_active, steps + 1, done, best_act,
                 best_avg, stall, cg_total + cg_iters)
 

@@ -169,3 +169,36 @@ def test_sgm_depth_discontinuity_scene():
     xs = np.arange(dim)[None, :] * np.ones((dim, 1))
     edge = (np.abs(xs - dim / 2) < 8) & mask
     assert np.median(rel[edge]) < 0.01
+
+
+def test_reconstruct_auto_multi_matches_sequential():
+    """The fused N-neighbor program (one dispatch, on-device averaging)
+    reproduces the sequential reconstruct_auto + host-averaging
+    composition exactly (reference averaging rule,
+    `app/smvsrecon.cc:347-384`)."""
+    from smvs_tpu.core.synthetic import make_plane_scene
+
+    scene = make_plane_scene(n_views=3, dim=128)
+    main = jnp.asarray(scene.images[1] * 255.0)
+    nbrs = [jnp.asarray(scene.images[i] * 255.0) for i in (0, 2)]
+    cams = [scene.cameras[i] for i in (0, 2)]
+    opts = sgm.SGMOptions(num_steps=64)
+
+    fused = np.asarray(sgm.reconstruct_auto_multi(
+        scene.cameras[1], cams, main, nbrs, (3.4, 6.6),
+        [(3.4, 6.6)] * 2, opts=opts, use_pallas=False))
+
+    acc = None
+    for cam_n, nbr in zip(cams, nbrs):
+        d = np.asarray(sgm.reconstruct_auto(
+            scene.cameras[1], cam_n, main, nbr, (3.4, 6.6), (3.4, 6.6),
+            opts=opts, use_pallas=False))
+        if acc is None:
+            acc = d
+        else:
+            both = (acc > 0) & (d > 0)
+            only2 = (acc == 0) & (d > 0)
+            acc = np.where(both, (acc + d) * 0.5, np.where(only2, d, acc))
+
+    np.testing.assert_allclose(fused, acc, rtol=1e-6, atol=1e-6)
+    assert (fused > 0).mean() > 0.2
