@@ -257,7 +257,8 @@ def optimize_view_batch(
         with timer.stage(f"viewset@s{scale}"):
             bview = _stack([
                 O._build_viewset(mains[i], list(subs_list[i]), scale,
-                                 opts.use_shading, dtype)
+                                 opts.use_shading, dtype,
+                                 bf16_gather=opts.bf16_gather)
                 for i in range(V)])
             bview = _shard_batch(bview, mesh)
             bmain_img = jnp.stack(

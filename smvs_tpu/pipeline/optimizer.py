@@ -55,6 +55,14 @@ class OptimizerOptions:
     # Newton steps without active-set or reprojection-delta improvement
     # before the inner loop exits (see `_newton_loop`).
     stall_limit: int = 8
+    # bf16 x-paired assembly gather (iops.pack_gradhess_pair10):
+    # measured 1.34x on the dominant assembly gather (PERF_NOTES "GN
+    # assembly gather"). The per-step system perturbation (~12% of the
+    # gradient's max entry through the IRLS weights) washes out through
+    # the Newton iteration: end-to-end depth error is unchanged
+    # (measured r4, 360px base: median 7.1e-5 bf16 vs 8.0e-5 f32).
+    # Applied only to f32 pipelines; f64 runs keep exact gathers.
+    bf16_gather: bool = True
     # Equality-harness mode: run EXACTLY max_newton_steps per inner loop
     # (no convergence/stall early exits; the non-finite-delta bail
     # remains). Cross-path equality tests (sharded vs unsharded, batched
@@ -75,12 +83,24 @@ def _build_viewset(
     scale: int,
     use_shading: bool,
     dtype,
+    bf16_gather: bool = False,
 ) -> gn.ViewSet:
     mi = main.at_scale(scale)
-    sub_gh = jnp.stack([
-        iops.pack_gradhess(s.at_scale(scale).grad.astype(dtype),
-                           s.at_scale(scale).hess.astype(dtype))
-        for s in subs])
+    if bf16_gather and jnp.dtype(dtype) == jnp.float32:
+        # bf16 x-paired sampling image: halves the assembly gather's row
+        # bytes and take count (iops.pack_gradhess_pair10). The analytic
+        # assembly dispatches on the channel count; the autodiff oracle
+        # path requires the 5-channel f32 format.
+        sub_gh = jnp.stack([
+            iops.pack_gradhess_pair10(
+                s.at_scale(scale).grad.astype(dtype),
+                s.at_scale(scale).hess.astype(dtype))
+            for s in subs])
+    else:
+        sub_gh = jnp.stack([
+            iops.pack_gradhess(s.at_scale(scale).grad.astype(dtype),
+                               s.at_scale(scale).hess.astype(dtype))
+            for s in subs])
     Ms, ts = [], []
     for s in subs:
         M, t = main.camera.fill_reprojection(
@@ -839,7 +859,8 @@ def optimize_view(
                 f"{int(surf.num_valid_patches())} patches")
         with timer.stage(f"viewset@s{surf.scale}"):
             view = _build_viewset(main, subs, surf.scale,
-                                  opts.use_shading, surf.nodes.dtype)
+                                  opts.use_shading, surf.nodes.dtype,
+                                  bf16_gather=opts.bf16_gather)
             timer.sync(view.sub_gh)
         if opts.use_sgm and sgm_depth is not None and sgm_zb is None:
             # Scale-invariant (blur scale-space keeps resolution and the

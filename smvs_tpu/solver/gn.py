@@ -366,7 +366,7 @@ def _data_term_analytic(M, t, gh_img, u, v, w, wdx, wdy):
     e = 1.0 / d
     e2 = e * e
 
-    vals5 = iops.sample_window(gh_img, a * e - 0.5, b * e - 0.5)  # [P, 5]
+    vals5 = iops.sample_gh(gh_img, a * e - 0.5, b * e - 0.5)  # [P, 5]
     gs0 = vals5[..., 0]
     gs1 = vals5[..., 1]
     hxx = vals5[..., 2]

@@ -33,3 +33,20 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_memory_per_module():
+    """Drop compiled executables between test modules.
+
+    A full-suite process accumulates hundreds of live XLA executables;
+    on 2-core/low-memory hosts the next big CPU compile then segfaults
+    inside backend_compile_and_load (r3 tests_full_r3.log, reproduced
+    deterministically in r4 at tests/test_shading.py two-thirds through
+    the suite). Clearing per module bounds the live set; the persistent
+    cache makes cross-module recompiles cheap loads.
+    """
+    yield
+    jax.clear_caches()

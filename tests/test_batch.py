@@ -36,9 +36,14 @@ def _problem(n_mains=2, dim=96):
     return mains, subs_list, gts, inits
 
 
+# fixed_newton_steps: equality-harness mode (see OptimizerOptions) —
+# batched/vmapped and sequential paths run step-for-step comparable
+# trajectories, so reduction-order noise cannot flip an iteration count
+# and shift the whole map by a convergence epsilon.
 OPTS = O.OptimizerOptions(regularization=0.01, num_iterations=2,
                           min_scale=4, use_sgm=False,
-                          full_optimization=True, max_newton_steps=8)
+                          full_optimization=True, max_newton_steps=8,
+                          fixed_newton_steps=True)
 
 
 def test_batched_matches_sequential():
@@ -52,10 +57,8 @@ def test_batched_matches_sequential():
         d_bat = np.asarray(r_bat.depth)
         assert (d_bat > 0).mean() > 0.3
         # Identical math modulo vmap reduction/fusion reassociation,
-        # amplified through CG/Newton iteration-count divergence by the
-        # full-strength MG smoother (see __graft_entry__.py): measured max
-        # drift ~5e-4 rel on <9% of pixels, well inside the 0.33% median
-        # GT error on this scene.
+        # amplified through CG's tolerance-based exits (Newton steps are
+        # fixed by OPTS, so the drift stays sparse).
         np.testing.assert_allclose(d_bat, d_seq, rtol=1e-3, atol=1e-3)
         # The loose ceiling above tolerates sparse iteration-count drift;
         # this distribution bound keeps sensitivity to broad systematic

@@ -57,3 +57,52 @@ def test_analytic_matches_autodiff(n_views, use_shading):
                                np.asarray(g_ad) / scale_g, atol=1e-9)
     np.testing.assert_allclose(np.asarray(H_an) / scale_h,
                                np.asarray(H_ad) / scale_h, atol=1e-9)
+
+
+def test_bf16_gather_viewset_close_to_f32():
+    """The bf16 x-paired sampling format (iops.pack_gradhess_pair10)
+    perturbs the assembled system at bf16 quantization level. The IRLS
+    weights (1/(1e-4+|r|)) amplify rows with near-zero residuals, so the
+    per-step gradient can move by ~12% of its max entry — but the
+    CONVERGED depth is set by the optimization criteria, not gradient
+    precision: end-to-end error is unchanged (see OptimizerOptions.
+    bf16_gather). This test bounds the system perturbation; the
+    end-to-end accuracy gates are the pipeline/parity tests, which run
+    with bf16_gather on by default."""
+    import jax.numpy as jnp
+
+    scene = make_plane_scene(n_views=2, dim=96)
+    main = make_view(scene.cameras[0], scene.images[0], view_id=0,
+                     dtype=jnp.float32)
+    subs = [make_view(scene.cameras[1], scene.images[1], view_id=1,
+                      dtype=jnp.float32)]
+    surf = S.create_from_depth(jnp.asarray(scene.depths[0], jnp.float32), 3)
+    vf32 = O._build_viewset(main, subs, 3, False, jnp.float32)
+    vbf16 = O._build_viewset(main, subs, 3, False, jnp.float32,
+                             bf16_gather=True)
+    assert vbf16.sub_gh.shape[-1] == 10 and vbf16.sub_gh.dtype == jnp.bfloat16
+    vis = jnp.ones((*surf.patch_valid.shape, 1), bool)
+    opts = gn.GNOptions(regularization=0.01)
+    g32, H32 = gn.assemble(surf, vf32, vis, surf.node_valid, opts, None)
+    gbf, Hbf = gn.assemble(surf, vbf16, vis, surf.node_valid, opts, None)
+    sg = float(np.abs(np.asarray(g32)).max()) + 1e-12
+    sh = float(np.abs(np.asarray(H32)).max()) + 1e-12
+    assert np.abs(np.asarray(gbf) - np.asarray(g32)).max() / sg < 0.25
+    assert np.abs(np.asarray(Hbf) - np.asarray(H32)).max() / sh < 0.25
+
+
+def test_sample_window_pair10_matches_sample_window():
+    import jax.numpy as jnp
+
+    from smvs_tpu.image import ops as iops
+
+    rng = np.random.default_rng(3)
+    grad = jnp.asarray(rng.normal(size=(2, 40, 50)), jnp.float32)
+    hess = jnp.asarray(rng.normal(size=(3, 40, 50)), jnp.float32)
+    img5 = iops.pack_gradhess(grad, hess)
+    img10 = iops.pack_gradhess_pair10(grad, hess)
+    x = jnp.asarray(rng.uniform(0, 49, size=200), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 39, size=200), jnp.float32)
+    a = np.asarray(iops.sample_window(img5, x, y))
+    b = np.asarray(iops.sample_window_pair10(img10, x, y))
+    np.testing.assert_allclose(b, a, atol=2e-2, rtol=2e-2)
