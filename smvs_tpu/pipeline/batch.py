@@ -176,17 +176,24 @@ def prewarm_async(
     fake = [jnp.full((h, w), depth_value, jnp.float32) for _ in range(V)]
 
     def run():
-        try:
-            out = optimize_view_batch(
-                mains, subs_list, opts,
-                sgm_depths=fake if opts.use_sgm else None,
-                init_depths=None if opts.use_sgm else fake,
-                mesh=mesh)
-            np.asarray(out[-1].depth[0, 0])  # drain the device queue
-        except Exception:  # pragma: no cover - diagnostic only
-            import traceback
+        # One retry: transient tunnel failures ('remote_compile: response
+        # body closed') can kill the surrogate mid-way; already-compiled
+        # programs are cached, so the retry resumes where it died. A
+        # dead surrogate silently costs the REAL first batch the whole
+        # compile wall (observed r4: 3.7 s -> 305 s first group).
+        for attempt in range(2):
+            try:
+                out = optimize_view_batch(
+                    mains, subs_list, opts,
+                    sgm_depths=fake if opts.use_sgm else None,
+                    init_depths=None if opts.use_sgm else fake,
+                    mesh=mesh)
+                np.asarray(out[-1].depth[0, 0])  # drain the device queue
+                return
+            except Exception:  # pragma: no cover - diagnostic only
+                import traceback
 
-            traceback.print_exc()
+                traceback.print_exc()
 
     t = threading.Thread(target=run, daemon=True, name="smvs-prewarm")
     t.start()

@@ -417,116 +417,6 @@ def _data_term_analytic(M, t, gh_img, u, v, w, wdx, wdy):
     return jg, djg_dw, S
 
 
-def patch_grad_hessian_analytic(
-    params16, pix_u, pix_v, grad_main, vis, patch_ok, view, basis, lighting,
-    opts, width, height,
-):
-    """(g [16], H [16,16]) for one patch — closed-form Jacobian path.
-
-    Same contract and math as :func:`patch_grad_hessian`, but the
-    value-space Jacobian J6 [C, 6] is built directly: analytic columns for
-    the data/pair terms (the deep chain through warp + sampling) and
-    `jacfwd` only for the shallow regularizer / shading residuals. This
-    collapses the dominant cost of assembly — a ~350-op autodiff graph per
-    pixel — into ~100 fused ops.
-    """
-    dtype = params16.dtype
-    n_sub = view.M.shape[0]
-    params_safe = jnp.where(patch_ok, params16,
-                            jnp.zeros_like(params16).at[0::4].set(1.0))
-    vals = jnp.einsum("pkm,m->pk", basis, params_safe)  # [P, 6]
-    w = vals[..., 0]
-    wdx = vals[..., 1]
-    wdy = vals[..., 2]
-
-    jg, djg_dw, S = jax.vmap(
-        lambda M, t, gh: _data_term_analytic(M, t, gh, pix_u, pix_v,
-                                             w, wdx, wdy)
-    )(view.M, view.t, view.sub_gh)  # [N, P, 2], [N, P, 2], [N, P]
-
-    P_pix = pix_u.shape[0]
-    zeros_p = jnp.zeros((P_pix,), dtype)
-
-    def data_cols(dw, s):
-        # value-space Jacobian rows for the channel pair (x, y) of one
-        # neighbor-difference: [P, 2, 6]
-        cx = jnp.stack([dw[..., 0], s, zeros_p, zeros_p, zeros_p, zeros_p],
-                       axis=-1)
-        cy = jnp.stack([dw[..., 1], zeros_p, s, zeros_p, zeros_p, zeros_p],
-                       axis=-1)
-        return jnp.stack([cx, cy], axis=-2)
-
-    res = [jnp.moveaxis(jg - grad_main[None], 0, 1).reshape(P_pix, -1)]
-    j6 = [jnp.concatenate([data_cols(djg_dw[n], S[n]) for n in range(n_sub)],
-                          axis=-2)]
-    diffs = jg - grad_main[None]
-
-    pair_idx = [(x, y) for x in range(n_sub) for y in range(x + 1, n_sub)]
-    subdiffs = None
-    if pair_idx:
-        subdiffs = jnp.stack([jg[x] - jg[y] for x, y in pair_idx], axis=1)
-        res.append(subdiffs.reshape(P_pix, -1))
-        j6.append(jnp.concatenate(
-            [data_cols(djg_dw[x] - djg_dw[y], S[x] - S[y])
-             for x, y in pair_idx], axis=-2))
-
-    # --- regularizer (shallow graph: jacfwd) --------------------------------
-    xc = pix_u - width / 2.0
-    yc = pix_v - height / 2.0
-
-    def div_fn(v, xc_, yc_):
-        return nrm.normal_divergence(xc_, yc_, view.flen, v[0], v[1], v[2],
-                                     v[3], v[4], v[5])
-
-    div = nrm.normal_divergence(xc, yc, view.flen, w, wdx, wdy,
-                                vals[..., 3], vals[..., 4], vals[..., 5])
-    res.append(div)
-    j6.append(jax.vmap(jax.jacfwd(div_fn))(vals, xc, yc))  # [P, 6, 6]
-
-    # --- shading term (shallow graph: jacfwd) -------------------------------
-    shading = lin_grad = lin_val = shading_res = None
-    if lighting is not None:
-        inv_flen = 1.0 / view.flen
-        gi = iops.sample_window(view.shading_gi, pix_u - 0.5, pix_v - 0.5)
-        lin_grad = _nan0(gi[..., :2])
-        lin_val = gi[..., 2]
-        lin_safe = jnp.where(jnp.abs(lin_val) < 1e-10, 1.0, lin_val)
-        lin_term = lin_grad / lin_safe[:, None]
-
-        def sh_fn(v, xc_, yc_, lt):
-            dv = nrm.normal_divergence(xc_, yc_, view.flen, v[0], v[1],
-                                       v[2], v[3], v[4], v[5])
-            normal = nrm.normal(xc_, yc_, inv_flen, v[0], v[1], v[2])
-            sh_jac = jax.jacfwd(shmod.eval_4_band)(
-                jax.lax.stop_gradient(normal))  # [16, 3]
-            sh_val = jnp.einsum("l,l->", lighting, shmod.eval_4_band(normal))
-            coef = jnp.einsum("l,lk->k", lighting.at[0].set(0.0), sh_jac)
-            sgrad = jnp.stack([coef @ dv[0:3], coef @ dv[3:6]])
-            safe = jnp.where(jnp.abs(sh_val) < 1e-10, 1.0, sh_val)
-            return sgrad / safe - lt, sh_val
-
-        shading_res, shading = jax.vmap(sh_fn)(vals, xc, yc, lin_term)
-        res.append(shading_res)
-        j6.append(jax.vmap(jax.jacfwd(sh_fn))(vals, xc, yc, lin_term)[0])
-    else:
-        res.append(jnp.zeros((P_pix, 2), dtype))
-        j6.append(jnp.zeros((P_pix, 2, 6), dtype))
-
-    residuals = _nan0(jnp.concatenate(res, axis=-1))
-    J6 = _nan0(jnp.concatenate(j6, axis=-2))  # [P, C, 6]
-    weights = _residual_weights(
-        diffs, subdiffs, div, grad_main, vis, lighting, opts, dtype, P_pix,
-        pair_idx, shading=shading, lin_grad=lin_grad, lin_val=lin_val,
-        shading_res=shading_res)
-    weights = jax.lax.stop_gradient(weights) * patch_ok
-
-    A = jnp.einsum("pck,pc,pcl->pkl", J6, weights, J6)  # [P, 6, 6]
-    b = jnp.einsum("pck,pc->pk", J6, weights * residuals)  # [P, 6]
-    H = jnp.einsum("pkm,pkl,pln->mn", basis, A, basis)
-    g = jnp.einsum("pkm,pk->m", basis, b)
-    return g, H
-
-
 _SYM_PAIRS = [(k, l) for k in range(6) for l in range(k, 6)]  # 21 upper-tri
 
 
@@ -562,8 +452,8 @@ def _assemble_flat(
 ):
     """Whole-grid GN assembly without per-patch chunking.
 
-    Same math as :func:`patch_grad_hessian_analytic`, restructured for the
-    TPU memory system: instead of materializing the value-space Jacobian
+    Same math as :func:`patch_grad_hessian` with closed-form Jacobian
+    columns, restructured for the TPU memory system: instead of materializing the value-space Jacobian
     J6 [B, P, C, 6] (hundreds of MB at fine scales — the measured assembly
     bottleneck), accumulate the per-pixel quadratic form
     A = J6^T W J6 [B, P, 21 sym] and right-hand side b = J6^T W r [B, P, 6]

@@ -1,9 +1,10 @@
 """Closed-form GN assembly vs the autodiff (jax.linearize) oracle.
 
 The autodiff path is itself validated against finite differences and the
-synthetic end-to-end scenes; here the analytic data-term Jacobians
-(`gn.patch_grad_hessian_analytic`, reference `lib/correspondence.cc:53-187`)
-must reproduce its (g, H) bit-for-bit up to fp reassociation.
+synthetic end-to-end scenes; here the analytic data/shading-term Jacobians
+(`gn._assemble_flat`, reference `lib/correspondence.cc:53-187` and
+`lib/gauss_newton_step.cc:420-516`) must reproduce its (g, H) bit-for-bit
+up to fp reassociation.
 """
 
 import dataclasses
