@@ -623,8 +623,11 @@ def reconstruct_auto_multi(cam_main, cams_nbr, main_img, nbr_imgs,
     equivalent sequential `reconstruct_auto` + host averaging."""
     from smvs_tpu.sgm import rectify as R
 
-    h, w = np.asarray(main_img).shape
-    shapes_ok = all(np.asarray(n).shape == (h, w) for n in nbr_imgs)
+    # np.shape reads the .shape attribute without materializing the array
+    # (np.asarray on a device array is a full D2H transfer under the
+    # tunnel — ~8 MB per 1440^2 image, measured as SGM wall, not compute).
+    h, w = np.shape(main_img)
+    shapes_ok = all(np.shape(n) == (h, w) for n in nbr_imgs)
     rps = [R.rectify_pair(cam_main, c, w, h, range_main, rn)
            for c, rn in zip(cams_nbr, ranges_nbr)]
     if shapes_ok and all(rp.valid for rp in rps):
@@ -664,11 +667,11 @@ def reconstruct_auto(cam_main, cam_nbr, main_img, nbr_img,
     """
     from smvs_tpu.sgm import rectify as R
 
-    h, w = np.asarray(main_img).shape
+    h, w = np.shape(main_img)  # no D2H transfer (see reconstruct_auto_multi)
     rp = R.rectify_pair(cam_main, cam_nbr, w, h, range_main, range_nbr)
     if rp.valid:
         return reconstruct_rectified(rp, main_img, nbr_img, opts, use_pallas)
-    hn, wn = np.asarray(nbr_img).shape
+    hn, wn = np.shape(nbr_img)
     M_mn, t_mn = cam_main.fill_reprojection(cam_nbr, w, h, wn, hn)
     M_nm, t_nm = cam_nbr.fill_reprojection(cam_main, wn, hn, w, h)
     return reconstruct(jnp.asarray(main_img), jnp.asarray(nbr_img),

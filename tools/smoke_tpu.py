@@ -115,6 +115,38 @@ def main() -> int:
         s, vw, vi, a, opts, None))
     stage("newton_step_mg", lambda: step(surf, view, vis, active)[0])
 
+    # --- Compacted-assembly tier on-chip (VERDICT r3 missing #4) ---------
+    # The fixed-capacity working-set compaction (gn.assemble capacity=B//16)
+    # only RUNS once the active set shrinks mid-solve; a full-active smoke
+    # never exercises it on the TPU backend. Activate only a corner block
+    # so lax.cond takes the smallest tier at a production patch count
+    # (120x120 patches at dim 480 / scale 2 -> B=14400 >= 4096).
+    act_small = (jnp.zeros_like(active).at[:12, :12].set(True)
+                 & surf.node_valid)
+    stage("newton_step_compacted",
+          lambda: step(surf, view, vis, act_small)[0])
+
+    # --- Batched (vmapped) pipeline on-chip (VERDICT r3 missing #4) ------
+    # The DP view-batch scale programs had only ever run on the CPU
+    # backend (tests) — run a tiny 2-view group end-to-end on the chip.
+    from smvs_tpu.core.synthetic import make_plane_scene
+    from smvs_tpu.pipeline import batch as Bp
+    from smvs_tpu.pipeline.views import make_view
+
+    scene = make_plane_scene(n_views=3, dim=240)
+    views = [make_view(scene.cameras[i], scene.images[i], view_id=i)
+             for i in range(3)]
+    bmains = [views[0], views[2]]
+    bsubs = [[views[1]], [views[1]]]
+    binits = [jnp.asarray(scene.depths[i] * 1.02, jnp.float32)
+              for i in (0, 2)]
+    bopts = O.OptimizerOptions(regularization=0.01, num_iterations=2,
+                               min_scale=4, use_sgm=False,
+                               full_optimization=True, max_newton_steps=8)
+    stage("batched_pipeline",
+          lambda: Bp.optimize_view_batch(bmains, bsubs, bopts,
+                                         init_depths=binits)[0].depth)
+
     print(json.dumps({"ok": ok, "tpu": on_tpu, "dim": dim,
                       "stages": results}))
     return 0 if (ok and on_tpu) else 1
