@@ -252,6 +252,49 @@ def make_lambertian_sphere_scene(
                           width=dim, height=dim)
 
 
+def degrade_scene(
+    scene: SyntheticScene,
+    noise_std: float = 0.0,
+    exposure_delta: float = 0.0,
+    gamma_err: float = 0.0,
+    seed: int = 0,
+) -> SyntheticScene:
+    """Photo-like degradations: sensor noise, per-view exposure, gamma error.
+
+    The reference is validated by years of use on real photographs —
+    sensor noise, exposure differences between views, and imperfect gamma
+    are exactly why its shading path de-gammas the input
+    (`/root/reference/lib/stereo_view.cc:64-84`). This applies those
+    degradations to a clean analytic scene so robustness can be bounded
+    hermetically:
+
+    - ``noise_std``: i.i.d. Gaussian sensor noise per pixel (image units,
+      images are ~[0, 1]; 0.01 corresponds to ~2.5/255 — a realistic
+      low-ISO sensor).
+    - ``exposure_delta``: per-view gain 1 + exposure_delta * u_i with
+      u_i deterministic in [-1, 1] across views (exposure varying between
+      views, the regime the pairwise data terms must absorb).
+    - ``gamma_err``: per-view exponent error, image ** (1 + gamma_err *
+      u_i) — an imperfectly-calibrated response curve.
+
+    Ground-truth depths and cameras are untouched; only images change.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(scene.images)
+    us = np.linspace(-1.0, 1.0, n) if n > 1 else np.zeros(1)
+    images = []
+    for i, img in enumerate(scene.images):
+        out = np.asarray(img, np.float64)
+        if gamma_err:
+            out = np.clip(out, 0.0, None) ** (1.0 + gamma_err * us[i])
+        if exposure_delta:
+            out = out * (1.0 + exposure_delta * us[i])
+        if noise_std:
+            out = out + rng.normal(size=out.shape) * noise_std
+        images.append(np.clip(out, 0.0, 1.0).astype(np.float32))
+    return dataclasses.replace(scene, images=images)
+
+
 def save_as_mve_scene(scene: SyntheticScene, path: str,
                       n_features: int = 200) -> None:
     """Write the synthetic scene as an on-disk MVE scene (views + bundle).

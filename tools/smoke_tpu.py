@@ -123,8 +123,19 @@ def main() -> int:
     # (120x120 patches at dim 480 / scale 2 -> B=14400 >= 4096).
     act_small = (jnp.zeros_like(active).at[:12, :12].set(True)
                  & surf.node_valid)
-    stage("newton_step_compacted",
-          lambda: step(surf, view, vis, act_small)[0])
+    B_patches = surf.num_patches_y * surf.num_patches_x
+    if B_patches >= 4096:
+        stage("newton_step_compacted",
+              lambda: step(surf, view, vis, act_small)[0])
+    else:
+        # The lax.cond tier ladder only exists for B >= 4096
+        # (optimizer.py `_newton_step`); below that the stage would pass
+        # without tracing the compaction path at all (advisor r4).
+        results["newton_step_compacted"] = {
+            "skipped": f"B={B_patches} < 4096: compaction tiers not "
+                       "traced at this dim; raise SMOKE_DIM"}
+        print("smoke: newton_step_compacted: SKIPPED (B < 4096)",
+              file=sys.stderr, flush=True)
 
     # --- Batched (vmapped) pipeline on-chip (VERDICT r3 missing #4) ------
     # The DP view-batch scale programs had only ever run on the CPU
