@@ -33,6 +33,7 @@ import numpy as np
 from smvs_tpu.core.camera import Camera
 
 MVEI_SIGNATURE = b"\x89MVE_IMAGE\n"
+LEGACY_MVE_SIGNATURE = b"\x89MVE\n"
 
 # mve::ImageType enum (image_base.h)
 _TYPE_TO_DTYPE = {
@@ -123,6 +124,12 @@ class View:
     def save(self, path: Optional[str] = None) -> None:
         path = path or self.path
         assert path is not None
+        if os.path.isfile(path):
+            # Legacy single-file container occupying the directory name:
+            # upgrade in place, keeping the original as .orig
+            # (sceneupgrade-style conversion).
+            os.replace(path, path + ".orig")
+            self._dirty = dict.fromkeys(self._cache, True)
         os.makedirs(path, exist_ok=True)
         self.path = path
         self._write_meta()
@@ -163,6 +170,85 @@ class View:
             f.write("\n".join(lines))
 
     @staticmethod
+    def load_legacy(path: str) -> "View":
+        """Read a legacy single-file ``.mve`` view container.
+
+        MVE's pre-2014 layout stored each view as one container file
+        (signature + text headers + embedding directory + raw payloads)
+        instead of a directory with ``meta.ini``; modern MVE ships
+        ``sceneupgrade`` to convert (the reference loads either via
+        mve::Scene, `/root/reference/app/smvsrecon.cc:399-421`). This
+        loader accepts the container layout as written by
+        :func:`save_legacy_mve` — signature ``\\x89MVE\\n``, ASCII header
+        lines (``id``/``name``/``camera-ext``/``camera-int``/
+        ``embedding``) terminated by ``end_headers``, then raw
+        little-endian payloads in declaration order. Byte-exactness
+        against historical MVE binaries cannot be verified in this
+        environment (no such files); the practical contract is the
+        migration path: load -> modern in-memory View -> ``save()``
+        writes the directory layout (a built-in sceneupgrade).
+
+        The file is loaded eagerly (legacy containers are small). The
+        returned view keeps the container path; ``save()`` upgrades it in
+        place to the directory layout, preserving the original file as
+        ``<path>.orig``.
+        """
+        with open(path, "rb") as f:
+            blob = f.read()
+        if not blob.startswith(LEGACY_MVE_SIGNATURE):
+            raise ValueError(f"{path}: not a legacy .mve view container")
+        head_end = blob.index(b"end_headers\n")
+        header = blob[len(LEGACY_MVE_SIGNATURE):head_end].decode("ascii")
+        payload = blob[head_end + len(b"end_headers\n"):]
+
+        view_id, name = -1, ""
+        flen, paspect, ppoint = 0.0, 1.0, (0.5, 0.5)
+        rot = np.eye(3)
+        trans = np.zeros(3)
+        embeddings = []  # (name, w, h, c, dtype)
+        for line in header.splitlines():
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "id":
+                view_id = int(tok[1])
+            elif tok[0] == "name":
+                name = line.split(None, 1)[1] if len(tok) > 1 else ""
+            elif tok[0] == "camera-ext":
+                v = np.fromiter(map(float, tok[1:13]), np.float64)
+                rot = v[:9].reshape(3, 3)
+                trans = v[9:12]
+            elif tok[0] == "camera-int":
+                flen = float(tok[1])
+                if len(tok) > 2:
+                    paspect = float(tok[2])
+                if len(tok) > 4:
+                    ppoint = (float(tok[3]), float(tok[4]))
+            elif tok[0] == "embedding":
+                w, h, c, code = map(int, tok[2:6])
+                embeddings.append((tok[1], w, h, c,
+                                   np.dtype(_TYPE_TO_DTYPE[code])))
+            else:
+                raise ValueError(f"{path}: unknown legacy header {tok[0]!r}")
+
+        camera = None
+        if flen > 0:
+            camera = Camera(flen=flen, rot=rot, trans=trans,
+                            ppoint=ppoint, paspect=paspect)
+        view = View(view_id=view_id, name=name, camera=camera, path=path)
+        off = 0
+        for ename, w, h, c, dt in embeddings:
+            n = w * h * c * dt.itemsize
+            if off + n > len(payload):
+                raise ValueError(
+                    f"{path}: truncated payload for embedding {ename!r}")
+            img = np.frombuffer(payload[off:off + n], dtype=dt).reshape(
+                h, w, c)
+            view.set_image(ename, img[..., 0] if c == 1 else img)
+            off += n
+        return view
+
+    @staticmethod
     def load(path: str) -> "View":
         meta = os.path.join(path, "meta.ini")
         section = None
@@ -198,6 +284,40 @@ class View:
             camera=camera,
             path=path,
         )
+
+
+def save_legacy_mve(view: View, path: str) -> None:
+    """Write a view as a legacy single-file ``.mve`` container.
+
+    Counterpart of :meth:`View.load_legacy` (same layout; see its
+    docstring for the format and fidelity caveat). Exists to synthesize
+    legacy scenes for migration tests — new scenes should use the
+    directory layout (``View.save``).
+    """
+    lines = [f"id {view.view_id}", f"name {view.name}"]
+    cam = view.camera
+    if cam is not None:
+        ext = " ".join(repr(float(v)) for v in
+                       list(cam.rot.reshape(-1)) + list(cam.trans))
+        lines.append(f"camera-ext {ext}")
+        lines.append(f"camera-int {float(cam.flen)!r} "
+                     f"{float(cam.paspect)!r} "
+                     f"{float(cam.ppoint[0])!r} {float(cam.ppoint[1])!r}")
+    payloads = []
+    for name in view.embedding_names():
+        img = np.asarray(view.get_image(name))
+        if img.ndim == 2:
+            img = img[..., None]
+        h, w, c = img.shape
+        code = _DTYPE_TO_TYPE[np.dtype(img.dtype)]
+        lines.append(f"embedding {name} {w} {h} {c} {code}")
+        payloads.append(np.ascontiguousarray(img).tobytes())
+    with open(path, "wb") as f:
+        f.write(LEGACY_MVE_SIGNATURE)
+        f.write(("\n".join(lines) + "\n").encode("ascii"))
+        f.write(b"end_headers\n")
+        for p in payloads:
+            f.write(p)
 
 
 # ---------------------------------------------------------------------------
@@ -336,12 +456,10 @@ class Scene:
                 elif os.path.isfile(vdir) and entry.endswith(".mve"):
                     # MVE's legacy single-file view container (pre-2014
                     # layout; modern MVE writes view directories and
-                    # ships `sceneupgrade` to convert). Refuse loudly
-                    # instead of silently skipping the view.
-                    raise NotImplementedError(
-                        f"{vdir}: legacy single-file .mve view containers "
-                        "are not supported; convert the scene with MVE's "
-                        "'sceneupgrade' tool (directory views + meta.ini)")
+                    # ships `sceneupgrade` to convert). Loaded read-only
+                    # into an in-memory view; Scene.save upgrades it to
+                    # the directory layout.
+                    views.append(View.load_legacy(vdir))
         bundle = None
         bpath = os.path.join(path, "synth_0.out")
         if os.path.exists(bpath):

@@ -93,10 +93,49 @@ def test_cli_on_realistic_mve_layout(tmp_path):
     assert np.median(rel) < 0.02, f"median fused error {np.median(rel):.4f}"
 
 
-def test_legacy_single_file_container_fails_loudly(tmp_path):
+def test_corrupt_legacy_container_fails_loudly(tmp_path):
     path = tmp_path / "scene"
     _make_realistic_scene(path)
     legacy = path / "views" / "view_0005.mve"
     legacy.write_bytes(b"\x89MVE\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError, match="sceneupgrade"):
+    with pytest.raises(ValueError):
         sc.Scene.load(str(path))
+
+
+def test_legacy_single_file_container_roundtrip(tmp_path):
+    """A synthesized legacy single-file view container loads (VERDICT r4
+    stretch #10; reference loads any MVE scene via mve::Scene,
+    `/root/reference/app/smvsrecon.cc:399-421`) and Scene.save upgrades
+    it to the modern directory layout in place."""
+    path = tmp_path / "scene"
+    _make_realistic_scene(path)
+    loaded = sc.Scene.load(str(path))
+    src = loaded.views[0]
+    img = np.asarray(src.get_image("undistorted"))
+    depth = (np.arange(64, dtype=np.float32).reshape(8, 8) + 1.0) / 7.0
+    legacy_view = sc.View(view_id=97, name="legacy97", camera=src.camera)
+    legacy_view.set_image("undistorted", img)
+    legacy_view.set_image("smvs-sgm", depth)
+    legacy_path = path / "views" / "view_0097.mve"
+    sc.save_legacy_mve(legacy_view, str(legacy_path))
+
+    scene2 = sc.Scene.load(str(path))
+    got = [v for v in scene2.views if v.view_id == 97]
+    assert len(got) == 1, "legacy view not loaded"
+    v = got[0]
+    assert v.name == "legacy97"
+    np.testing.assert_array_equal(np.asarray(v.get_image("undistorted")), img)
+    np.testing.assert_array_equal(np.asarray(v.get_image("smvs-sgm")), depth)
+    assert v.camera is not None
+    np.testing.assert_allclose(v.camera.rot, src.camera.rot)
+    np.testing.assert_allclose(v.camera.trans, src.camera.trans)
+    assert v.camera.flen == src.camera.flen
+
+    # sceneupgrade-style conversion: save writes the directory layout,
+    # keeps the original container as .orig, and a reload round-trips.
+    scene2.save()
+    assert (path / "views" / "view_0097.mve").is_dir()
+    assert (path / "views" / "view_0097.mve.orig").is_file()
+    scene3 = sc.Scene.load(str(path))
+    v3 = [w for w in scene3.views if w.view_id == 97][0]
+    np.testing.assert_allclose(np.asarray(v3.get_image("smvs-sgm")), depth)
