@@ -39,6 +39,12 @@ from smvs_tpu.surface.state import Surface, patch_params
 
 R_FACTOR = 1e-4  # IRLS-L1 floor, reference `lib/gauss_newton_step.cc:17`
 
+# r5 experiment knobs: per-term IRLS floors (default = reference value).
+import os as _os
+
+_RF_DATA = float(_os.environ.get("SMVS_RFLOOR_DATA", R_FACTOR))
+_RF_SH = float(_os.environ.get("SMVS_RFLOOR_SH", R_FACTOR))
+
 
 class ViewSet(NamedTuple):
     """Per-view data at the current scale, device-resident.
@@ -86,22 +92,27 @@ def _sampling_for_scale(scale: int) -> int:
     return 4
 
 
-def _patch_pixel_coords(surf: Surface, sampling: int) -> tuple[np.ndarray, np.ndarray]:
-    """Global integer pixel coords of each patch's (subsampled) pixels.
+def _patch_pixel_coords(surf: Surface, sampling: int
+                        ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Global pixel coords of each patch's (subsampled) pixels.
 
-    Returns (px, py) of shape [ny, nx, P].
+    Returns (px, py) of shape [ny, nx, P] in the surface dtype, built
+    from on-device iotas: as baked numpy constants these grids dominated
+    executable size (8+ MB per [B, P] array at fine scales, several per
+    scale program — the serialized-program-load cold-start wall, VERDICT
+    r4 #3/#4); as iota + broadcast they are a handful of fused ops.
     """
     ps = surf.patchsize
+    dtype = surf.nodes.dtype
     idx = np.arange(0, ps, sampling)
     ii, jj = np.meshgrid(idx, idx, indexing="xy")
-    lx = ii.reshape(-1)
-    ly = jj.reshape(-1)
-    bx = surf.start_x + np.arange(surf.num_patches_x) * ps
-    by = surf.start_y + np.arange(surf.num_patches_y) * ps
-    px = bx[None, :, None] + lx[None, None, :]
-    py = by[:, None, None] + ly[None, None, :]
-    px = np.broadcast_to(px, (surf.num_patches_y, surf.num_patches_x, lx.size))
-    py = np.broadcast_to(py, px.shape)
+    lx = jnp.asarray(ii.reshape(-1), dtype)  # [P] — small constants
+    ly = jnp.asarray(jj.reshape(-1), dtype)
+    bx = surf.start_x + jnp.arange(surf.num_patches_x, dtype=dtype) * ps
+    by = surf.start_y + jnp.arange(surf.num_patches_y, dtype=dtype) * ps
+    shape = (surf.num_patches_y, surf.num_patches_x, lx.size)
+    px = jnp.broadcast_to(bx[None, :, None] + lx[None, None, :], shape)
+    py = jnp.broadcast_to(by[:, None, None] + ly[None, None, :], shape)
     return px, py
 
 
@@ -258,12 +269,12 @@ def _residual_weights(diffs, subdiffs, div, grad_main, vis, lighting, opts,
     num_subs = jnp.sum(vis)
     num_diffs = num_subs * (num_subs + 1.0) / 2.0
     wts = []
-    data_w = vis[None, :, None] / (R_FACTOR + jnp.abs(
+    data_w = vis[None, :, None] / (_RF_DATA + jnp.abs(
         jnp.moveaxis(diffs, 0, 1)))  # [P, N, 2]
     wts.append(data_w.reshape(-1, 2 * n_sub))
     if pair_idx:
         pv = jnp.stack([vis[a] * vis[b] for a, b in pair_idx])
-        pair_w = pv[None, :, None] / (R_FACTOR + jnp.abs(subdiffs))
+        pair_w = pv[None, :, None] / (_RF_DATA + jnp.abs(subdiffs))
         wts.append(pair_w.reshape(-1, 2 * len(pair_idx)))
 
     gm_abs = jnp.abs(grad_main).sum(-1)  # [P]
@@ -290,7 +301,7 @@ def _residual_weights(diffs, subdiffs, div, grad_main, vis, lighting, opts,
         if opts.regularization <= 0.0:
             gate = gate * 0.0
         sh_w = gate[:, None] * shading_weight[:, None] / (
-            R_FACTOR + jnp.abs(shading_res))
+            _RF_SH + jnp.abs(shading_res))
         wts.append(sh_w)
     else:
         wts.append(jnp.zeros((n_pix, 2), dtype=dtype))
@@ -513,8 +524,8 @@ def _assemble_flat(
         ry = jg[n, ..., 1] - gm[..., 1]
         vn = vis_f[:, n][:, None] * okw
         accum_sparse(rx, ry, djg_dw[n, ..., 0], djg_dw[n, ..., 1], S[n],
-                     vn / (R_FACTOR + jnp.abs(rx)),
-                     vn / (R_FACTOR + jnp.abs(ry)))
+                     vn / (_RF_DATA + jnp.abs(rx)),
+                     vn / (_RF_DATA + jnp.abs(ry)))
 
     for a in range(n_sub):
         for c in range(a + 1, n_sub):
@@ -525,8 +536,8 @@ def _assemble_flat(
                          djg_dw[a, ..., 0] - djg_dw[c, ..., 0],
                          djg_dw[a, ..., 1] - djg_dw[c, ..., 1],
                          S[a] - S[c],
-                         pv / (R_FACTOR + jnp.abs(rx)),
-                         pv / (R_FACTOR + jnp.abs(ry)))
+                         pv / (_RF_DATA + jnp.abs(rx)),
+                         pv / (_RF_DATA + jnp.abs(ry)))
 
     # --- regularizer: 6 divergence components, dense 6x6 value Jacobian ----
     xc = pix_u - width / 2.0
@@ -635,7 +646,7 @@ def _assemble_flat(
                     jc = jc - sg * dsh_dval[k] * quot
                 jsh_c.append(_nan0(jc))
             wc = gate * shading_weight / (
-                R_FACTOR + jnp.abs(sh_res[..., c])) * okw
+                _RF_SH + jnp.abs(sh_res[..., c])) * okw
             for (k, l) in _SYM_PAIRS:
                 A[(k, l)] += wc * jsh_c[k] * jsh_c[l]
             for k in range(6):

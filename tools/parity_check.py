@@ -137,6 +137,8 @@ def main():
     ap.add_argument("--modes", default="base,shading")
     ap.add_argument("--platform", default=None,
                     help="cpu to force jax onto CPU")
+    ap.add_argument("--save-maps", default=None,
+                    help="directory to np.save the ref/tpu/gt maps into")
     args = ap.parse_args()
 
     import jax
@@ -172,7 +174,13 @@ def main():
         tpu, t_tpu = tpu_pipeline(scene, imgs, 1, [0], (3.5, 9.5), 2,
                                   False)
         gt = np.asarray(scene.depths[1])
-        results.append(compare("base", load_f32(dump), tpu, gt, t_ref,
+        ref_map = load_f32(dump)
+        if args.save_maps:
+            os.makedirs(args.save_maps, exist_ok=True)
+            np.save(os.path.join(args.save_maps, "base_ref.npy"), ref_map)
+            np.save(os.path.join(args.save_maps, "base_tpu.npy"), tpu)
+            np.save(os.path.join(args.save_maps, "base_gt.npy"), gt)
+        results.append(compare("base", ref_map, tpu, gt, t_ref,
                                t_tpu))
 
     if "shading" in args.modes:
@@ -192,7 +200,13 @@ def main():
         tpu, t_tpu = tpu_pipeline(scene, imgs, 1, [0, 2], (3.4, 6.6), 2,
                                   True)
         gt = np.asarray(scene.depths[1])
-        results.append(compare("shading", load_f32(dump), tpu, gt, t_ref,
+        ref_map = load_f32(dump)
+        if args.save_maps:
+            os.makedirs(args.save_maps, exist_ok=True)
+            np.save(os.path.join(args.save_maps, "shading_ref.npy"), ref_map)
+            np.save(os.path.join(args.save_maps, "shading_tpu.npy"), tpu)
+            np.save(os.path.join(args.save_maps, "shading_gt.npy"), gt)
+        results.append(compare("shading", ref_map, tpu, gt, t_ref,
                                t_tpu))
 
     for r in results:
