@@ -20,6 +20,7 @@ cost volume.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,15 @@ class RectifiedPair:
     L_main: np.ndarray | None = None
     disp_lo: float = 0.0
     disp_hi: float = 0.0
+    # Extra columns on EACH side of the rectified neighbor canvas
+    # (static, quantized to 128). The neighbor's rectified footprint can
+    # extend past [0, width) — rotation between the views shifts content
+    # sideways — and clipping it there starves border matching: the r5
+    # coverage analysis measured the entire 1.4% base-coverage gap vs the
+    # reference as main-frame border pixels whose matches fell off the
+    # neighbor canvas. H_nbr/off/disp_* are expressed in the WIDENED
+    # canvas coordinates (content shifted +nbr_pad).
+    nbr_pad: int = 0
 
 
 def _pixel_grid_form(row3: np.ndarray, width: int, height: int,
@@ -80,6 +90,7 @@ def rectify_pair(
     range_nbr: tuple[float, float],
     min_baseline: float = 1e-9,
     min_perp: float = 0.15,
+    nbr_pad: int | None = None,
 ) -> RectifiedPair:
     """Compute the rectifying transforms for a view pair (or report invalid).
 
@@ -152,6 +163,20 @@ def rectify_pair(
     if hi - lo < 0.25 * height:
         return invalid
 
+    # Widen the neighbor canvas to its rectified x-footprint (see
+    # RectifiedPair.nbr_pad). Quantized to 128-column steps so pairs of
+    # similar geometry share compiled programs; capped at 384.
+    xn = corners @ H_nbr.T
+    xn = xn[:, 0] / xn[:, 2]
+    need = max(0.0, -xn.min(), xn.max() - width)
+    auto_pad = int(min(int(np.ceil(need / 128.0)) * 128, 384))
+    pad = auto_pad if nbr_pad is None else int(nbr_pad)
+    if pad:
+        # x' = x + pad in projective form: row0 += pad * row2.
+        H_nbr = H_nbr.copy()
+        H_nbr[0, :] += pad * H_nbr[2, :]
+        cx_n += pad
+
     # Signed baseline along the rectified x-axis.
     B = float(np.dot(e1, b))
     fB = f * B
@@ -176,20 +201,24 @@ def rectify_pair(
     return RectifiedPair(
         valid=True, width=width, height=height,
         H_main=H_main, H_nbr=H_nbr, fB=fB, off=off, L_main=L_main,
-        disp_lo=disp_lo, disp_hi=disp_hi,
+        disp_lo=disp_lo, disp_hi=disp_hi, nbr_pad=pad,
     )
 
 
-@jax.jit
-def warp_homography(img: jnp.ndarray, H_inv: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def warp_homography(img: jnp.ndarray, H_inv: jnp.ndarray,
+                    out_width: int | None = None) -> jnp.ndarray:
     """Resample ``img`` [H, W] under an output->input pixel homography.
 
     Output pixel (x, y) samples the input at ``H_inv @ (x+0.5, y+0.5, 1)``
     (bilinear, zero outside). This is the only gather in the rectified SGM
     path — one per image instead of one per (pixel, depth plane).
+    ``out_width`` renders onto a wider canvas (the widened rectified
+    neighbor, see `RectifiedPair.nbr_pad`).
     """
     h, w = img.shape
-    ys, xs = jnp.mgrid[0:h, 0:w]
+    ow = w if out_width is None else out_width
+    ys, xs = jnp.mgrid[0:h, 0:ow]
     u = xs.astype(img.dtype) + 0.5
     v = ys.astype(img.dtype) + 0.5
     Hc = H_inv.astype(img.dtype)

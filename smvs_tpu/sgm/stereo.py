@@ -325,12 +325,14 @@ def _disparity_cost(m_hi, m_lo, nbr_img, shifts: jnp.ndarray) -> jnp.ndarray:
     are traced, so one compilation covers every view pair.
     """
     h, w = m_hi.shape
-    pimg = jnp.pad(nbr_img, ((0, 0), (w, w)))
+    wn = nbr_img.shape[1]
+    P = w + wn  # padding covers any |shift| the clip admits
+    pimg = jnp.pad(nbr_img, ((0, 0), (P, P)))
 
     def per_shift(s):
         si = jnp.floor(s).astype(jnp.int32)
         a = (s - si.astype(s.dtype)).astype(nbr_img.dtype)
-        start = jnp.clip(w - si, 1, 2 * w).astype(jnp.int32)
+        start = jnp.clip(P - si, 1, P + wn).astype(jnp.int32)
         zero = jnp.zeros((), jnp.int32)
         t0 = jax.lax.dynamic_slice(pimg, (zero, start), (h, w))  # x - floor(s)
         t1 = jax.lax.dynamic_slice(pimg, (zero, start - 1), (h, w))
@@ -356,16 +358,18 @@ def _disparity_cost_interp(m_hi, m_lo, nbr_img, shifts: jnp.ndarray
     path: both tapped image samples must be nonzero.
     """
     h, w = m_hi.shape
+    wn = nbr_img.shape[1]
+    P = w + wn
     n_hi, n_lo = census_transform(nbr_img)
-    pimg = jnp.pad(nbr_img, ((0, 0), (w, w)))
-    phi = jnp.pad(n_hi, ((0, 0), (w, w)))
-    plo = jnp.pad(n_lo, ((0, 0), (w, w)))
+    pimg = jnp.pad(nbr_img, ((0, 0), (P, P)))
+    phi = jnp.pad(n_hi, ((0, 0), (P, P)))
+    plo = jnp.pad(n_lo, ((0, 0), (P, P)))
     zero = jnp.zeros((), jnp.int32)
 
     def per_shift(s):
         si = jnp.floor(s).astype(jnp.int32)
         a = (s - si.astype(s.dtype)).astype(s.dtype)
-        start = jnp.clip(w - si, 1, 2 * w).astype(jnp.int32)
+        start = jnp.clip(P - si, 1, P + wn).astype(jnp.int32)
 
         def tap(p, st):
             return jax.lax.dynamic_slice(p, (zero, st), (h, w))
@@ -417,18 +421,23 @@ def _wta_subpixel(agg: jnp.ndarray, raw_cost: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("p1", "p2", "use_pallas",
                                               "cost_interp"))
-def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
-                   shifts, p1: int, p2: int, use_pallas: bool,
-                   cost_interp: bool = False):
+def _rectified_sgm(main_r, nbr_r, hinv_nbr, H_main, L_main, fB, off,
+                   disp0, dstep, shifts, p1: int, p2: int,
+                   use_pallas: bool, cost_interp: bool = False):
     """Full bidirectional SGM in the rectified frame -> main-view z-depth.
 
-    main_r / nbr_r: rectified intensities [H, W] (0..255 scale, 0 =
-    outside the original image). H_main maps original main pixel-center
-    coords to rectified coords; L_main converts rectified depth back to
+    main_r [H, W] / nbr_r [H, W + 2*nbr_pad]: rectified intensities
+    (0..255 scale, 0 = outside the original image); the neighbor canvas
+    may be widened so border matches survive (`rectify.RectifiedPair
+    .nbr_pad`). H_main maps original main pixel-center coords to
+    rectified coords; hinv_nbr maps rectified-neighbor coords back to the
+    ORIGINAL neighbor frame (for the reference's border cut,
+    `lib/sgm_stereo.cc:77-82`); L_main converts rectified depth back to
     main z-depth (see `rectify.RectifiedPair`). All pair geometry enters
     as traced scalars, so this compiles once per image size.
     """
     h, w = main_r.shape
+    wn = nbr_r.shape[1]
     f32 = main_r.dtype
 
     m_hi, m_lo = census_transform(main_r)
@@ -442,11 +451,18 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
 
         # Both bidirectional sweeps ride ONE batched kernel walk: the
         # fused pass is grid-step-latency-bound (PERF_NOTES.md), so two
-        # independent problems per step cost barely more than one.
+        # independent problems per step cost barely more than one. A
+        # widened neighbor pads the main problem with INVALID columns.
+        if wn != w:
+            cm = jnp.pad(cost_m, ((0, 0), (0, wn - w), (0, 0)),
+                         constant_values=INVALID_COST)
+            im = jnp.pad(main_r, ((0, 0), (0, wn - w)))
+        else:
+            cm, im = cost_m, main_r
         agg2 = pallas_agg.aggregate_batch(
-            jnp.stack([cost_m, cost_n]),
-            jnp.stack([main_r, nbr_r]).astype(jnp.int32), p1, p2)
-        agg_m, agg_n = agg2[0], agg2[1]
+            jnp.stack([cm, cost_n]),
+            jnp.stack([im, nbr_r]).astype(jnp.int32), p1, p2)
+        agg_m, agg_n = agg2[0][:, :w], agg2[1]
     else:
         agg_m = aggregate(cost_m, main_r, p1, p2)
         agg_n = aggregate(cost_n, nbr_r, p1, p2)
@@ -455,16 +471,26 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
 
     # Bidirectional consistency (reference `reconstruct`, :64-91): the
     # matched neighbor pixel must see a compatible depth (ratio >= 0.8)
-    # and lie inside a 3% border margin.
+    # and lie inside a 3% border margin OF THE ORIGINAL NEIGHBOR FRAME
+    # (the reference applies the cut to the unrectified reprojection,
+    # :77-82; cutting in rectified-canvas coords also discarded real
+    # border content — the r5 coverage-gap root cause).
     ys, xs = jnp.mgrid[0:h, 0:w]
     cut = 0.03 * max(w, h)
     xn = xs.astype(f32) - disp_m
-    inb = (xn >= cut) & (xn < w - cut) & (ys >= cut) & (ys < h - cut)
+    Hn = hinv_nbr.astype(f32)
+    un_h = Hn[0, 0] * (xn + 0.5) + Hn[0, 1] * (ys + 0.5) + Hn[0, 2]
+    vn_h = Hn[1, 0] * (xn + 0.5) + Hn[1, 1] * (ys + 0.5) + Hn[1, 2]
+    zn_h = Hn[2, 0] * (xn + 0.5) + Hn[2, 1] * (ys + 0.5) + Hn[2, 2]
+    uo = un_h / zn_h - 0.5
+    vo = vn_h / zn_h - 0.5
+    inb = (zn_h > 0) & (uo >= cut) & (uo < w - cut) & \
+        (vo >= cut) & (vo < h - cut)
     # Sub-pixel consistency: bilinear along the epipolar line where both
     # supports are valid, nearest valid support otherwise. (The reference
     # truncates to the integer pixel, `lib/sgm_stereo.cc:86-88`; sub-pixel
     # lookup measurably tightens the check at depth discontinuities.)
-    x0 = jnp.clip(jnp.floor(xn).astype(jnp.int32), 0, w - 2)
+    x0 = jnp.clip(jnp.floor(xn).astype(jnp.int32), 0, wn - 2)
     fx = jnp.clip(xn - x0.astype(f32), 0.0, 1.0)
     dn0 = disp_n[ys, x0]
     dn1 = disp_n[ys, x0 + 1]
@@ -524,10 +550,11 @@ def _rectified_sgm(main_r, nbr_r, H_main, L_main, fB, off, disp0, dstep,
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps", "p1", "p2",
-                                              "use_pallas", "cost_interp"))
+                                              "use_pallas", "cost_interp",
+                                              "nbr_pad"))
 def _rectified_sgm_packed(main_img, nbr_img, params, num_steps: int,
                           p1: int, p2: int, use_pallas: bool,
-                          cost_interp: bool = False):
+                          cost_interp: bool = False, nbr_pad: int = 0):
     """Single-dispatch rectified SGM: warps + sweep + consistency in one jit.
 
     ``params`` packs every per-pair scalar into ONE f32[34] array —
@@ -547,10 +574,12 @@ def _rectified_sgm_packed(main_img, nbr_img, params, num_steps: int,
     l_main = params[27:30]
     fB, off, disp0, dstep = params[30], params[31], params[32], params[33]
     main_r = R.warp_homography(main_img, hinv_m)
-    nbr_r = R.warp_homography(nbr_img, hinv_n)
+    nbr_r = R.warp_homography(nbr_img, hinv_n,
+                              out_width=main_img.shape[1] + 2 * nbr_pad)
     shifts = disp0 + dstep * jnp.arange(num_steps, dtype=f32)
-    return _rectified_sgm(main_r, nbr_r, h_main, l_main, fB, off, disp0,
-                          dstep, shifts, p1, p2, use_pallas, cost_interp)
+    return _rectified_sgm(main_r, nbr_r, hinv_n, h_main, l_main, fB, off,
+                          disp0, dstep, shifts, p1, p2, use_pallas,
+                          cost_interp)
 
 
 def reconstruct_rectified(rp, main_img: jnp.ndarray, nbr_img: jnp.ndarray,
@@ -568,14 +597,16 @@ def reconstruct_rectified(rp, main_img: jnp.ndarray, nbr_img: jnp.ndarray,
         jnp.asarray(main_img), jnp.asarray(nbr_img), jnp.asarray(params),
         d, opts.penalty1, opts.penalty2,
         _use_pallas_default() if use_pallas is None else use_pallas,
-        opts.cost_interp)
+        opts.cost_interp, nbr_pad=rp.nbr_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("num_steps", "p1", "p2",
-                                              "use_pallas", "cost_interp"))
+                                              "use_pallas", "cost_interp",
+                                              "nbr_pad"))
 def _rectified_sgm_packed_multi(main_img, nbr_imgs, params, num_steps: int,
                                 p1: int, p2: int, use_pallas: bool,
-                                cost_interp: bool = False):
+                                cost_interp: bool = False,
+                                nbr_pad: int = 0):
     """N rectified pair reconstructions + neighbor averaging, ONE program.
 
     nbr_imgs: [N, H, W]; params: [N, 34] per-pair packed scalars (see
@@ -591,7 +622,7 @@ def _rectified_sgm_packed_multi(main_img, nbr_imgs, params, num_steps: int,
     for k in range(nbr_imgs.shape[0]):
         d = _rectified_sgm_packed(main_img, nbr_imgs[k], params[k],
                                   num_steps, p1, p2, use_pallas,
-                                  cost_interp)
+                                  cost_interp, nbr_pad=nbr_pad)
         if acc is None:
             acc = d
         else:
@@ -631,6 +662,13 @@ def reconstruct_auto_multi(cam_main, cams_nbr, main_img, nbr_imgs,
     rps = [R.rectify_pair(cam_main, c, w, h, range_main, rn)
            for c, rn in zip(cams_nbr, ranges_nbr)]
     if shapes_ok and all(rp.valid for rp in rps):
+        # One fused program needs one canvas width: re-rectify every
+        # pair at the max footprint pad.
+        pad = max(rp.nbr_pad for rp in rps)
+        if any(rp.nbr_pad != pad for rp in rps):
+            rps = [R.rectify_pair(cam_main, c, w, h, range_main, rn,
+                                  nbr_pad=pad)
+                   for c, rn in zip(cams_nbr, ranges_nbr)]
         params = np.stack([_pair_params(rp, opts.num_steps) for rp in rps])
         return _rectified_sgm_packed_multi(
             jnp.asarray(main_img), jnp.stack([jnp.asarray(n)
@@ -638,7 +676,7 @@ def reconstruct_auto_multi(cam_main, cams_nbr, main_img, nbr_imgs,
             jnp.asarray(params), opts.num_steps, opts.penalty1,
             opts.penalty2,
             _use_pallas_default() if use_pallas is None else use_pallas,
-            opts.cost_interp)
+            opts.cost_interp, nbr_pad=pad)
 
     acc = None
     for cam_n, nbr, rn in zip(cams_nbr, nbr_imgs, ranges_nbr):
