@@ -127,6 +127,7 @@ main (int argc, char** argv)
     double light_reg = 0.0;
     std::string init_file;
     std::string dump_file;
+    std::string dump_sgm_file;
     std::vector<int> sub_ids;
 
     for (int i = 1; i < argc; ++i)
@@ -135,6 +136,7 @@ main (int argc, char** argv)
         if (a == "--shading") shading = true;
         else if (a == "--init") init_file = argv[++i];
         else if (a == "--dump") dump_file = argv[++i];
+        else if (a == "--dump-sgm") dump_sgm_file = argv[++i];
         else if (a == "--min-depth") sgm_min = std::atof(argv[++i]);
         else if (a == "--max-depth") sgm_max = std::atof(argv[++i]);
         else if (a == "--min-scale") min_scale = std::atoi(argv[++i]);
@@ -184,6 +186,8 @@ main (int argc, char** argv)
             }
         }
         main_view->write_depth_to_view(sgm_depth, "smvs-sgm");
+        if (!dump_sgm_file.empty())
+            save_f32(dump_sgm_file, sgm_depth);
         if (std::getenv("SMVS_BASELINE_DEBUG") != nullptr)
         {
             std::size_t nz = 0;

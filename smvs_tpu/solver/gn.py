@@ -39,12 +39,6 @@ from smvs_tpu.surface.state import Surface, patch_params
 
 R_FACTOR = 1e-4  # IRLS-L1 floor, reference `lib/gauss_newton_step.cc:17`
 
-# r5 experiment knobs: per-term IRLS floors (default = reference value).
-import os as _os
-
-_RF_DATA = float(_os.environ.get("SMVS_RFLOOR_DATA", R_FACTOR))
-_RF_SH = float(_os.environ.get("SMVS_RFLOOR_SH", R_FACTOR))
-
 
 class ViewSet(NamedTuple):
     """Per-view data at the current scale, device-resident.
@@ -269,12 +263,12 @@ def _residual_weights(diffs, subdiffs, div, grad_main, vis, lighting, opts,
     num_subs = jnp.sum(vis)
     num_diffs = num_subs * (num_subs + 1.0) / 2.0
     wts = []
-    data_w = vis[None, :, None] / (_RF_DATA + jnp.abs(
+    data_w = vis[None, :, None] / (R_FACTOR + jnp.abs(
         jnp.moveaxis(diffs, 0, 1)))  # [P, N, 2]
     wts.append(data_w.reshape(-1, 2 * n_sub))
     if pair_idx:
         pv = jnp.stack([vis[a] * vis[b] for a, b in pair_idx])
-        pair_w = pv[None, :, None] / (_RF_DATA + jnp.abs(subdiffs))
+        pair_w = pv[None, :, None] / (R_FACTOR + jnp.abs(subdiffs))
         wts.append(pair_w.reshape(-1, 2 * len(pair_idx)))
 
     gm_abs = jnp.abs(grad_main).sum(-1)  # [P]
@@ -301,7 +295,7 @@ def _residual_weights(diffs, subdiffs, div, grad_main, vis, lighting, opts,
         if opts.regularization <= 0.0:
             gate = gate * 0.0
         sh_w = gate[:, None] * shading_weight[:, None] / (
-            _RF_SH + jnp.abs(shading_res))
+            R_FACTOR + jnp.abs(shading_res))
         wts.append(sh_w)
     else:
         wts.append(jnp.zeros((n_pix, 2), dtype=dtype))
@@ -524,8 +518,8 @@ def _assemble_flat(
         ry = jg[n, ..., 1] - gm[..., 1]
         vn = vis_f[:, n][:, None] * okw
         accum_sparse(rx, ry, djg_dw[n, ..., 0], djg_dw[n, ..., 1], S[n],
-                     vn / (_RF_DATA + jnp.abs(rx)),
-                     vn / (_RF_DATA + jnp.abs(ry)))
+                     vn / (R_FACTOR + jnp.abs(rx)),
+                     vn / (R_FACTOR + jnp.abs(ry)))
 
     for a in range(n_sub):
         for c in range(a + 1, n_sub):
@@ -536,8 +530,8 @@ def _assemble_flat(
                          djg_dw[a, ..., 0] - djg_dw[c, ..., 0],
                          djg_dw[a, ..., 1] - djg_dw[c, ..., 1],
                          S[a] - S[c],
-                         pv / (_RF_DATA + jnp.abs(rx)),
-                         pv / (_RF_DATA + jnp.abs(ry)))
+                         pv / (R_FACTOR + jnp.abs(rx)),
+                         pv / (R_FACTOR + jnp.abs(ry)))
 
     # --- regularizer: 6 divergence components, dense 6x6 value Jacobian ----
     xc = pix_u - width / 2.0
@@ -646,7 +640,7 @@ def _assemble_flat(
                     jc = jc - sg * dsh_dval[k] * quot
                 jsh_c.append(_nan0(jc))
             wc = gate * shading_weight / (
-                _RF_SH + jnp.abs(sh_res[..., c])) * okw
+                R_FACTOR + jnp.abs(sh_res[..., c])) * okw
             for (k, l) in _SYM_PAIRS:
                 A[(k, l)] += wc * jsh_c[k] * jsh_c[l]
             for k in range(6):

@@ -107,3 +107,4 @@ def test_sample_window_pair10_matches_sample_window():
     a = np.asarray(iops.sample_window(img5, x, y))
     b = np.asarray(iops.sample_window_pair10(img10, x, y))
     np.testing.assert_allclose(b, a, atol=2e-2, rtol=2e-2)
+
