@@ -58,9 +58,9 @@ def timeit(name, fn, *args, n=3):
     return out
 
 
-warp = jax.jit(R.warp_homography)
+warp = jax.jit(R.warp_homography, static_argnames=("out_width",))
 main_r = timeit("warp_homography", warp, main_img, hinv_m)
-nbr_r = warp(nbr_img, hinv_n)
+nbr_r = warp(nbr_img, hinv_n, out_width=w + 2 * rp.nbr_pad)
 force(nbr_r)
 
 census = jax.jit(sgm.census_transform)
@@ -81,14 +81,16 @@ wta = jax.jit(lambda a, c, i: sgm._wta_subpixel(a, c, i, lo, step))
 timeit("wta_subpixel", wta, agg2[0], cost_m, main_r)
 
 full = jax.jit(lambda mi, ni: sgm._rectified_sgm(
-    mi, ni, jnp.asarray(rp.H_main, jnp.float32),
+    mi, ni, jnp.asarray(np.linalg.inv(rp.H_nbr), jnp.float32),
+    jnp.asarray(rp.H_main, jnp.float32),
     jnp.asarray(rp.L_main, jnp.float32), jnp.asarray(rp.fB, jnp.float32),
     jnp.asarray(rp.off, jnp.float32), jnp.asarray(lo, jnp.float32),
     jnp.asarray(step, jnp.float32), shifts, 6, 96, True))
 timeit("full _rectified_sgm", full, main_r, nbr_r)
 
 packed = jax.jit(functools.partial(sgm._rectified_sgm_packed, num_steps=D,
-                                   p1=6, p2=96, use_pallas=True))
+                                   p1=6, p2=96, use_pallas=True,
+                                   nbr_pad=rp.nbr_pad))
 params = jnp.asarray(np.concatenate([
     np.linalg.inv(rp.H_main).ravel(), np.linalg.inv(rp.H_nbr).ravel(),
     np.asarray(rp.H_main).ravel(), np.asarray(rp.L_main).ravel(),
