@@ -169,7 +169,11 @@ def rectify_pair(
     xn = corners @ H_nbr.T
     xn = xn[:, 0] / xn[:, 2]
     need = max(0.0, -xn.min(), xn.max() - width)
-    auto_pad = int(min(int(np.ceil(need / 128.0)) * 128, 384))
+    # Quantum scales with the image so small frames get proportionate
+    # pads (a 128 quantum exceeded 64-px half-res CLI images entirely
+    # and, with the +-width disparity clamp, zeroed their sweeps).
+    q = 128 if width >= 768 else 32
+    auto_pad = int(min(int(np.ceil(need / q)) * q, 3 * q))
     pad = auto_pad if nbr_pad is None else int(nbr_pad)
     if pad:
         # x' = x + pad in projective form: row0 += pad * row2.
@@ -191,9 +195,10 @@ def rectify_pair(
     z_lo, z_hi = max(min(z_bounds), 1e-9), max(z_bounds)
     d_a, d_b = fB / z_lo, fB / z_hi
     disp_lo, disp_hi = min(d_a, d_b) + off, max(d_a, d_b) + off
-    # Clamp to the physically-resolvable window.
-    disp_lo = float(np.clip(disp_lo, -width, width))
-    disp_hi = float(np.clip(disp_hi, -width, width))
+    # Clamp to the physically-resolvable window (the widened neighbor
+    # canvas legitimately shifts disparities by -pad).
+    disp_lo = float(np.clip(disp_lo, -(width + pad), width + pad))
+    disp_hi = float(np.clip(disp_hi, -(width + pad), width + pad))
 
     # Main z-depth reconstruction form: w = Z * (L_main . rect_pixel).
     L_main = (cam_main.rot @ R_r.T @ np.linalg.inv(K_rm))[2]

@@ -351,8 +351,13 @@ def _node_omega(Hb: jnp.ndarray, pinv: jnp.ndarray) -> jnp.ndarray:
     """
     if _OMEGA_POLICY == "const":
         return jnp.full(Hb.shape[-2:], OMEGA, Hb.dtype)
-    # row blocks of D^-1 A at node (y, x): pinv[a,b,y,x] @ Hb[dy,dx,b,c,y,x]
-    prod = jnp.einsum("abyx,dqbcyx->dqacyx", pinv, Hb)
+    # row blocks of D^-1 A at node (y, x): pinv[a,b,y,x] @ Hb[dy,dx,b,c,y,x].
+    # Unrolled over the 4-wide contraction — a dot lowering here demands
+    # a transposed Hb layout (32x tile padding in batched programs, see
+    # stencil.spmv).
+    prod = sum(
+        pinv[None, None, :, b, None, :, :] * Hb[:, :, None, b, :, :, :]
+        for b in range(4))
     lam = jnp.sqrt(jnp.sum(prod * prod, axis=(2, 3))).sum((0, 1))
     # median over rows that participate (inactive rows have pinv = 0)
     lam_act = jnp.where(lam > 0, lam, jnp.nan)
