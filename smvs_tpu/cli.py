@@ -361,7 +361,16 @@ def main(argv=None) -> int:
 
     t_all = time.time()
     for key, ids in buckets.items():
-        group_size = max(1, conf.batch_views)
+        # Cap the vmapped group by working megapixels: the batched scale
+        # programs hold B view-problems' worth of solver state live, and
+        # past ~3 MP total the XLA batch pipeline additionally picks a
+        # pathological stencil layout (32x tile padding -> HBM OOM at
+        # 4 x 2 MP, measured r5 on the 49-view DTU scene). Sequential
+        # views in a bucket still share compiled programs.
+        mp = key[0] * key[1] / 1e6
+        fit = max(1, int(float(os.environ.get("SMVS_BATCH_MP", "3.0"))
+                         // mp))
+        group_size = max(1, min(conf.batch_views, fit))
         for lo in range(0, len(ids), group_size):
             group = ids[lo : lo + group_size]
             t0 = time.time()
