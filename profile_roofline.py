@@ -50,21 +50,23 @@ GATHER_NS_PER_INDEX = 5.3  # measured XLA row-gather floor (PERF_NOTES r3)
 
 
 def force(out):
-    jax.tree.map(lambda x: np.asarray(x.ravel()[0]), out)
+    jax.tree.map(lambda x: np.asarray(x[(0,) * x.ndim]), out)
 
 
-def timeit(fn, *args, n=5):
+def timeit(fn, *args, n=3):
     out = fn(*args)
     force(out)
     t0 = time.time()
     for _ in range(n):
         out = fn(*args)
-    force(out)
-    return (time.time() - t0) / n
+    force(out)  # amortized force: a per-call element D2H costs ~20 ms
+    dt = (time.time() - t0) / n  # of tunnel latency and would swamp
+    return dt * 1e3  # small kernels. Milliseconds (row() expects ms).
 
 
 def row(name, ms, gbytes=None, gops=None, engine="vpu", indices=None,
         note=""):
+    import json as _json
     sec = ms / 1e3
     r = {"stage": name, "ms": round(ms, 2), "note": note}
     binds = []
@@ -89,6 +91,7 @@ def row(name, ms, gbytes=None, gops=None, engine="vpu", indices=None,
         binds.append(("issue", r["pct_gather_floor"]))
     if binds:
         r["binding"] = max(binds, key=lambda kv: kv[1])[0]
+    print(_json.dumps(r), flush=True)
     return r
 
 
@@ -212,8 +215,9 @@ def main():
 
     levels = jax.jit(lambda H: mg.build(H, act, damp_rows=True))(Hb)
     force(levels.ops[0])
-    mg_fn = jax.jit(lambda lv, r: mg.apply(lv, r))
-    ms = timeit(mg_fn, levels, g)
+    # levels closed over (its .shapes tuple must stay static).
+    mg_fn = jax.jit(lambda r: mg.apply(levels, r))
+    ms = timeit(mg_fn, g)
     lvl_bytes = sum(float(h.size) * 4 for h in levels.ops)
     rows.append(row(
         "mg_vcycle_apply", ms,
@@ -227,8 +231,6 @@ def main():
     rows.append(row("gn_assemble(base, scale2, full)", ms,
                     note="gather + residual math + contraction combined"))
 
-    for r in rows:
-        print(json.dumps(r), flush=True)
     with open("roofline_r5.json", "w") as f:
         json.dump({"dim": dim, "device": str(dev), "rows": rows}, f,
                   indent=1)
