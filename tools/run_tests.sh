@@ -25,4 +25,8 @@ case "$rc" in
     rc=$?
     ;;
 esac
+if [ "$rc" -eq 0 ]; then
+  # Doc-vs-bench consistency gate (VERDICT r4 #9): loud drift.
+  python "$(dirname "$0")/check_docs.py" || rc=$?
+fi
 exit $rc
